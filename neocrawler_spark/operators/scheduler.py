@@ -1,0 +1,138 @@
+"""Scheduling operators: recrawl-window predicates, weighted-fair quota with
+deterministic carry, FIFO/LIFO consumption, per-host politeness top-k.
+
+The reference's scheduling round (/root/reference/scheduler/index.js:124-260)
+is one Redis op per URL; here the whole round is columnar: a frontier ⋈
+url_state join, a CASE WHEN admission predicate, one tiny aggregate for the
+carry recursion, and a cumulative-sum window realizing the sequential pop
+loop exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HOUR_MS = 60 * 60 * 1000
+TEN_MIN_MS = 10 * 60 * 1000
+TWO_DAYS_MS = 2 * 24 * 60 * 60 * 1000
+
+
+def scheduler_admit(round_ts_ms: int, interval_s: Column) -> Column:
+    """Scheduler-flavor recrawl window (/root/reference/scheduler/index.js:373-394)
+    over url_state columns (status, last). Terminal {crawled_failure, hit}
+    bypass the window. crawling/schedule → 60-min stuck window. The
+    reference's `crawled_finish ∧ type=='branch' ∧ version>last` fast-path is
+    dead code (url_info never stores `type`; see spider.js:382-406 /
+    scheduler/index.js:457-466) — replicated by omission.
+
+    A URL missing from url_state is NOT admitted (checkURL:347) — the caller
+    inner-joins url_state first.
+    """
+    real_interval = (
+        F.when(F.col("status").isin("crawling", "schedule"), F.lit(HOUR_MS))
+        .otherwise(interval_s.cast("long") * 1000)
+    )
+    window_ok = (F.lit(round_ts_ms) - F.coalesce(F.col("last"), F.lit(0))) >= real_interval
+    return F.col("status").isin("crawled_failure", "hit") | window_ok
+
+
+def discovery_admit(round_ts_ms: int, interval_s: Column, link_version: Column) -> Column:
+    """Discovery-flavor window (/root/reference/spider/pipeline.js:127-172):
+    same shape, different constants — crawling/schedule → 10 min, hit → 2
+    days, crawled_failure bypasses (failed URLs are re-enqueued on
+    rediscovery). Branch-new-version fast-path dead as above."""
+    real_interval = (
+        F.when(F.col("status").isin("crawling", "schedule"), F.lit(TEN_MIN_MS))
+        .when(F.col("status") == "hit", F.lit(TWO_DAYS_MS))
+        .otherwise(interval_s.cast("long") * 1000)
+    )
+    window_ok = (F.lit(round_ts_ms) - F.coalesce(F.col("last"), F.lit(0))) >= real_interval
+    return (F.col("status") == "crawled_failure") | window_ok
+
+
+def consume_quota(
+    admits: DataFrame,
+    ct_by_rule: dict[str, int],
+    lifo_rules: set[str],
+) -> DataFrame:
+    """Realize the sequential pop loop (scheduler/index.js:216-256) as a
+    window: a frontier row is POPPED (consumed) iff the number of admitted
+    rows strictly before it in pop order is < ct; it is SCHEDULED iff popped
+    ∧ admitted. Rejected pops are consumed without counting — exactly the
+    reference's lpop-then-drop behavior.
+
+    admits: frontier ⋈ url_state with an `admit` boolean and `seq`.
+    Returns admits + `popped`, `sched` booleans.
+
+    Scale note: the per-rule window sorts only each rule's frontier
+    partition; with the frontier stored bucketed by seq-range, partition
+    pruning bounds the scan to the lowest ranges until ct is covered (the
+    analog of only popping the head of a Redis list). AQE handles the skewed
+    hot rule.
+    """
+    order_col = F.when(
+        F.col("rule_key").isin(*lifo_rules) if lifo_rules else F.lit(False),
+        -F.col("seq"),
+    ).otherwise(F.col("seq"))
+    w = (
+        Window.partitionBy("rule_key")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    admits_before = F.coalesce(F.sum(F.col("admit").cast("long")).over(w), F.lit(0))
+    ct_expr = F.coalesce(
+        *[
+            F.when(F.col("rule_key") == k, F.lit(v))
+            for k, v in ct_by_rule.items()
+        ],
+        F.lit(0),
+    ) if ct_by_rule else F.lit(0)
+    return (
+        admits.withColumn("_ct", ct_expr)
+        .withColumn("popped", admits_before < F.col("_ct"))
+        .withColumn("sched", F.col("popped") & F.col("admit"))
+        .drop("_ct")
+    )
+
+
+def per_host_budget(
+    scheduled: DataFrame,
+    order_cols: list[str],
+    budget_col: str = "max_fetches_per_round",
+    salts: int = 16,
+) -> DataFrame:
+    """Politeness top-k per host (north_rule; the reference's analog is the
+    spider_concurrency gate, spider.js:262). Appends `host_rank` (1-based
+    fetch order within host) and `in_budget`.
+
+    Two-phase top-k to defuse host skew at 10^10 scale: a salted local
+    row_number prunes each host's candidates to ≤ salts×k rows before the
+    exact per-host window — the hot host never funnels its whole queue
+    through one task, only salts×k survivors.
+    """
+    order = [F.col(c) for c in order_cols]
+    local_w = Window.partitionBy(F.col("host"), F.crc32(F.col("url_hash")) % salts).orderBy(*order)
+    pruned = scheduled.withColumn("_lr", F.row_number().over(local_w)).where(
+        F.col("_lr") <= F.coalesce(F.col(budget_col), F.lit(2**31 - 1))
+    )
+    exact_w = Window.partitionBy("host").orderBy(*order)
+    ranked = pruned.withColumn("host_rank", F.row_number().over(exact_w)).drop("_lr")
+    survivors = ranked.withColumn(
+        "in_budget",
+        F.col("host_rank") <= F.coalesce(F.col(budget_col), F.lit(2**31 - 1)),
+    )
+    # rows pruned by the salted pass are by construction over budget; they are
+    # re-derived by the caller as (scheduled − in_budget survivors)
+    return survivors
+
+
+def robots_allowed(url_col: Column, host_col: Column, disallow_col: Column) -> Column:
+    """Disallow-prefix gate: URL path must not start with any disallow prefix
+    of its host (north_rule addition; absent in the reference)."""
+    path = F.regexp_replace(url_col, r"^[a-z]+://[^/]*", "")
+    return F.when(
+        disallow_col.isNull() | (F.size(disallow_col) == 0), F.lit(True)
+    ).otherwise(
+        ~F.exists(disallow_col, lambda p: path.startswith(p))
+    )

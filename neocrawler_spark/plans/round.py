@@ -1,0 +1,659 @@
+"""One crawl round as ONE DataFrame job (SURVEY.md §3.1-3.2 restructured).
+
+The reference's scheduling round + spider loop cross a network boundary on
+every Redis op (per-URL hgetall×2 + hmset + rpush); here the whole round is
+columnar:
+
+  frontier ⋈ url_state → admission predicate → quota window (deterministic
+  carry) → politeness top-k per host → fetch = batch ⋈ pages → validation →
+  extraction pUDF → (links: explode → bloom probe → discovery predicate →
+  frontier append) ∥ (content → crawled) ∥ (state merge) ∥ (metrics agg)
+
+Determinism contract (north_rule: "matching the reference's crawl ordering
+and URL-seen set under the same seed list + politeness budget"):
+* round clock = ``base_ts + round_no*schedule_interval`` — never now();
+* total order = (round, rule-rate desc, seeds-before-pops, pop order), pinned
+  into ``seq``; every window orders by the unique seq → bit-stable reruns;
+* the reference's event-loop-timing-dependent interleavings are pinned to
+  "discovery observes all of this round's fetch outcomes" (SURVEY.md §7) —
+  realized by overlaying this round's schedule/crawl events on url_state
+  before the discovery predicate.
+
+In-round retries: the reference re-emits a failed urlinfo immediately
+(spider.js:350-372 → 'new_url_queue'); with a deterministic corpus standing
+in for the network every retry has the same outcome, so the retry loop
+collapses to its fixpoint — ``download_retry+1`` 'crawling' record pushes
+then 'crawled_failure' — inside the same round.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schema
+from ..functions import canon
+from ..functions.extract import extract_udf
+from ..operators import bloom
+from ..operators.scheduler import (
+    consume_quota,
+    per_host_budget,
+    robots_allowed,
+    scheduler_admit,
+)
+from ..rules import detect_link, quota_with_carry, rules_by_domain, rules_by_key
+from ..sources.tables import Catalog
+
+# seq = round * 2^40 + rule_rank * 2^32 + pop_offset  (unique total order)
+ROUND_STRIDE = 1 << 40
+RANK_STRIDE = 1 << 32
+POP_OFFSET = 1 << 28  # seeds (offset 0) sort before quota pops within a rule
+DISC_RANK = 255  # discovery appends sort after all scheduled entries
+
+DEFAULT_SETTINGS = {
+    # reference defaults: /root/reference/instance/example/settings.json:8-19
+    "schedule_quantity_limitation": 200,
+    "schedule_interval": 60,
+    "download_retry": 3,
+    "keep_link_relation": True,
+    "save_content": True,
+    "buckets": 64,
+    "default_host_budget": 1 << 30,
+    "bloom_keys_per_bucket": 100_000,
+    "politeness_salts": 16,
+}
+
+def EMPTY_ARR():  # must be lazy: Column construction needs an active session
+    return F.array().cast("array<string>")
+
+
+@dataclass
+class CrawlContext:
+    spark: SparkSession
+    catalog: Catalog
+    rules: list[dict]  # normalized, active (rules.load_rules)
+    pages: DataFrame
+    robots: DataFrame | None = None
+    settings: dict = field(default_factory=dict)
+    base_ts: int = 1767312000000  # 2026-01-02T00:00:00Z
+
+    def __post_init__(self):
+        self.settings = {**DEFAULT_SETTINGS, **self.settings}
+        self.by_key = rules_by_key(self.rules)
+        self.by_domain = rules_by_domain(self.rules)
+        ranked = sorted(self.rules, key=lambda r: -r["rate"])
+        self.rank = {r["key"]: i for i, r in enumerate(ranked)}
+        self.total_rates = sum(r["rate"] for r in self.rules)
+        self.lifo = {r["key"] for r in self.rules if r["schedule_rule"] == "LIFO"}
+
+    def rules_df(self) -> DataFrame:
+        rows = [
+            (
+                r["key"], float(r["rate"]), int(r["schedule_interval"]),
+                r.get("validation_keywords") or [], r["format"] == "binary",
+                r["type"], self.rank[r["key"]],
+            )
+            for r in self.rules
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "rule_key string, rate double, interval_s int, keywords array<string>, "
+            "is_binary boolean, rule_type string, rule_rank int",
+        )
+
+
+def load_state(cat: Catalog) -> dict:
+    rec = cat.last_completed_round()
+    if rec is None:
+        return {"round": 0, "first_schedule": {}, "consumed": {}}
+    cat.restore_round(rec)  # crash-resume: discard any partial later round
+    return rec["metrics"]["state"]
+
+
+def _frontier_filter(consumed: dict[str, list[list[int]]]):
+    """Mask consumed (popped) seq intervals — the append-only frontier story:
+    consumption advances per-rule interval metadata instead of rewriting
+    files (pops are contiguous in pop order, so each round adds ≤1 interval
+    per rule)."""
+    cond = F.lit(True)
+    for rk, intervals in consumed.items():
+        for lo, hi in intervals:
+            cond = cond & ~(
+                (F.col("rule_key") == rk) & F.col("seq").between(int(lo), int(hi))
+            )
+    return cond
+
+
+def _ev(events: list[str]):
+    return F.array(*[F.lit(e) for e in events])
+
+
+def _ring3(col):
+    """records.slice(-3) — keep the last ≤3 entries (scheduler/index.js:434)."""
+    return F.when(F.size(col) <= 3, col).otherwise(F.slice(col, -3, 3))
+
+
+def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
+    spark, cat, st = ctx.spark, ctx.catalog, ctx.settings
+    if state is None:
+        state = load_state(cat)
+    round_no = state["round"] + 1
+    round_ts = ctx.base_ts + round_no * st["schedule_interval"] * 1000
+    buckets = st["buckets"]
+    seq_base = round_no * ROUND_STRIDE
+
+    url_state = cat.read(spark, "url_state", schema.URL_STATE)
+    frontier = cat.read(spark, "frontier", schema.FRONTIER).where(
+        _frontier_filter(state.get("consumed", {}))
+    )
+    scheduled = cat.read(spark, "scheduled", schema.SCHEDULED)
+    shards = cat.read(spark, "bloom", bloom.BLOOM_SCHEMA)
+    rules_df = ctx.rules_df()
+
+    man = cat.manifest("scheduled")
+    backlog = man["total_rows"] if man else 0  # llen from manifest, no job
+    balance = max(0, st["schedule_quantity_limitation"] - backlog)
+
+    # ---------------- A1: seed reschedule (scheduler/index.js:163-198)
+    first_sched = dict(state.get("first_schedule", {}))
+    seed_rows = []
+    for r in ctx.rules:
+        if round_ts - first_sched.get(r["key"], 0) >= r["schedule_interval"] * 1000:
+            order = 0
+            for s in r["seed"]:
+                for link in canon.expand_seed(s):
+                    tr = detect_link(link, ctx.by_domain)  # trace on create (:454)
+                    if tr is None:
+                        continue  # no rule match → not pushed (:474-477)
+                    seed_rows.append(
+                        (canon.md5_hex(link), link, tr["key"], canon.url_host(link), order)
+                    )
+                    order += 1
+            if r["seed"]:
+                first_sched[r["key"]] = round_ts
+    seeds_df = spark.createDataFrame(
+        seed_rows, "url_hash string, url string, rule_key string, host string, ord long"
+    ) if seed_rows else spark.createDataFrame(
+        [], "url_hash string, url string, rule_key string, host string, ord long"
+    )
+
+    # ---------------- A2: quota admission (frontier ⋈ url_state)
+    # equi hash join on url_hash; both sides bucketed identically, so a real
+    # catalog makes this storage-partitioned (shuffle-free); here AQE decides.
+    fr = (
+        frontier.join(
+            url_state.select("url_hash", "status", "last", "version"),
+            "url_hash", "left",
+        )
+        .join(F.broadcast(rules_df.select("rule_key", "interval_s", "rule_rank")),
+              "rule_key", "left")
+        .withColumn(
+            "admit",
+            # missing url_info → popped but not counted (checkURL:347)
+            F.col("status").isNotNull() & scheduler_admit(round_ts, F.col("interval_s")),
+        )
+    )
+    avail = {
+        r["rule_key"]: r["available"]
+        for r in fr.groupBy("rule_key")
+        .agg(F.sum(F.col("admit").cast("long")).alias("available"))
+        .collect()
+    }
+    ct_by_rule = quota_with_carry(
+        [{"key": r["key"], "rate": r["rate"], "available": avail.get(r["key"], 0)}
+         for r in ctx.rules],
+        balance, ctx.total_rates,
+    )
+    fr2 = consume_quota(fr, ct_by_rule, ctx.lifo).persist()
+    popped_bounds = (
+        fr2.where("popped").groupBy("rule_key")
+        .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
+    )
+
+    # ---------------- A3: assemble the scheduled queue (rpush order pinned)
+    pop_order = F.when(
+        F.col("rule_key").isin(*ctx.lifo) if ctx.lifo else F.lit(False), -F.col("seq")
+    ).otherwise(F.col("seq"))
+    sched_seeds = seeds_df.withColumn(
+        "seq",
+        F.lit(seq_base)
+        + _rank_expr(ctx) * F.lit(RANK_STRIDE)
+        + F.row_number().over(Window.partitionBy("rule_key").orderBy("ord", "url")),
+    ).withColumn("is_seed", F.lit(True)).drop("ord")
+    sched_quota = (
+        fr2.where("sched")
+        .withColumn(
+            "seq_new",
+            F.lit(seq_base)
+            + F.col("rule_rank").cast("long") * F.lit(RANK_STRIDE)
+            + F.lit(POP_OFFSET)
+            + F.row_number().over(Window.partitionBy("rule_key").orderBy(pop_order)),
+        )
+        .select("url_hash", "url", "rule_key", "host",
+                F.col("seq_new").alias("seq"), F.lit(False).alias("is_seed"))
+    )
+    hydrate = url_state.select(
+        "url_hash", F.col("referer").alias("h_referer"),
+        F.col("drill_relation").alias("h_relation"), F.col("version").alias("h_version"),
+    )
+    new_sched = (
+        sched_seeds.unionByName(sched_quota)
+        .join(hydrate, "url_hash", "left")  # spider.js:221-241 hydration
+        .select(
+            "url_hash", "url", "rule_key", "host", "seq",
+            F.lit(0).alias("retry"),
+            F.coalesce("h_referer", F.lit("")).alias("referer"),
+            F.col("h_relation").alias("drill_relation"),
+            # seeds: version = schedule_version (reSchedule:182); pops keep
+            # the stored version (checkURL passes version=false :396)
+            F.when(F.col("is_seed"), F.lit(round_ts)).otherwise(F.col("h_version"))
+            .alias("version"),
+            "is_seed",
+        )
+        .persist()
+    )
+    queue = scheduled.unionByName(new_sched.drop("is_seed"))
+
+    # ---------------- B1: politeness gate (north_rule; no reference analog)
+    robots = ctx.robots if ctx.robots is not None else spark.createDataFrame([], schema.ROBOTS)
+    q = queue.join(F.broadcast(robots), "host", "left").withColumn(
+        "max_fetches_per_round",
+        F.coalesce("max_fetches_per_round", F.lit(st["default_host_budget"])),
+    )
+    allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
+    denied = q.where(~allowed_col).select("url_hash", "url", "rule_key", "host").persist()
+    qa = q.where(allowed_col)
+    surv = per_host_budget(qa, ["seq"], salts=st["politeness_salts"])
+    batch = (
+        surv.where("in_budget")
+        .withColumn(
+            "fetch_offset_ms",
+            ((F.col("host_rank") - 1)
+             * F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000).cast("long"),
+        )
+        .drop("disallow", "crawl_delay_s", "max_fetches_per_round", "in_budget")
+        .persist()
+    )
+    leftover = qa.join(batch.select("url_hash", "seq"), ["url_hash", "seq"], "left_anti").select(
+        *[f.name for f in schema.SCHEDULED.fields]
+    )
+
+    # ---------------- B2: fetch = batch ⋈ pages (the corpus-as-network join)
+    fetched = batch.join(ctx.pages.select("url", "html"), "url", "left").withColumn(
+        "content", F.decode(F.col("html"), "utf-8")
+    )
+    fv = (
+        fetched.join(F.broadcast(rules_df), "rule_key", "left")
+        .withColumn(
+            "valid",
+            F.col("html").isNotNull()
+            & (F.length("content")
+               >= F.when(F.col("is_binary"), F.lit(20)).otherwise(F.lit(500)))
+            & F.forall(F.coalesce(F.col("keywords"), EMPTY_ARR()),
+                       lambda k: F.col("content").contains(k)),
+        )
+    )
+
+    # ---------------- B3: extraction (validation → big pUDF, JVM-side gate)
+    ex = (
+        fv.where("valid")
+        .withColumn(
+            "ex",
+            extract_udf(ctx.by_key, ctx.by_domain, st["keep_link_relation"])(
+                F.col("url"), F.col("html"), F.col("rule_key"), F.col("drill_relation")
+            ),
+        )
+        .persist()
+    )
+    failed = fv.where(~F.col("valid")).persist()
+
+    # ---------------- B4: discovery (pipeline.save_links:66-222)
+    links = (
+        ex.select(
+            F.col("url").alias("referer_url"),
+            F.col("seq").alias("parent_seq"),
+            F.col("version").alias("parent_version"),
+            F.col("ex.drill_relation").alias("parent_relation"),
+            F.posexplode_outer("ex.arranged").alias("pos", "lk"),
+        )
+        .where(F.col("lk").isNotNull())
+        .select(
+            "referer_url", "parent_seq", "parent_version", "parent_relation", "pos",
+            F.expr("substring(lk.lib, 8)").alias("rule_key"),  # strip 'urllib:'
+            F.col("lk.link").alias("url"),
+        )
+    )
+    cand = (
+        canon.with_url_identity(links, buckets=buckets)
+        .withColumn("host", canon.host_udf(F.col("url")))
+        # first-occurrence-wins cross-page dedup, pinned to (pop order, page pos)
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("url_hash").orderBy("parent_seq", "pos")))
+        .where("rn = 1").drop("rn")
+    )
+    probed = bloom.probe(cand, shards)
+
+    # bloom-negative → definitely new, SKIPS the url_state join entirely (the
+    # scale win: on a converged crawl most discovered links are duplicates,
+    # and the exact join's probe side shrinks to bloom-positives only)
+    pos = probed.where("maybe_seen")
+    neg = probed.where(~F.col("maybe_seen"))
+
+    mid_upd = _mid_round_overlay(new_sched, ex, failed, denied, round_ts)
+    pos_e = (
+        pos.join(
+            url_state.select(
+                "url_hash", F.col("status").alias("s_status"),
+                F.col("last").alias("s_last"), F.col("version").alias("s_version"),
+            ),
+            "url_hash", "left",
+        )
+        .join(mid_upd, "url_hash", "left")
+        .withColumn("e_status", F.coalesce("m_status", "s_status"))
+        .withColumn("e_last", F.coalesce("m_last", "s_last"))
+        .withColumn("e_version", F.coalesce("m_version", "s_version"))
+        .drop("m_status", "m_last", "m_version", "s_status", "s_last", "s_version")
+    )
+    neg_e = (
+        neg.join(mid_upd, "url_hash", "left")  # a just-created url is bloom-negative
+        .withColumn("e_status", F.col("m_status"))
+        .withColumn("e_last", F.col("m_last"))
+        .withColumn("e_version", F.col("m_version"))
+        .drop("m_status", "m_last", "m_version")
+    )
+    pe = (
+        pos_e.unionByName(neg_e)
+        .join(F.broadcast(rules_df.select("rule_key", "interval_s")), "rule_key", "left")
+        .withColumn("d_new", F.col("e_status").isNull())
+        .withColumn(
+            "d_requeue",
+            F.col("e_status").isNotNull()
+            & _discovery_admit_eff(round_ts),
+        )
+        .persist()
+    )
+
+    frontier_append = (
+        pe.where(F.col("d_new") | F.col("d_requeue"))
+        .withColumn(
+            "seq",
+            F.lit(seq_base) + F.lit(DISC_RANK * RANK_STRIDE)
+            + F.row_number().over(
+                Window.partitionBy("rule_key").orderBy("parent_seq", "pos")),
+        )
+        .select("url_hash", "url", "rule_key", "host", "seq",
+                F.lit(round_ts).alias("discovered_ts"), "bucket")
+    )
+
+    # ---------------- C: url_state MERGE (touched buckets only)
+    attempts = st["download_retry"] + 1
+    upd_sched = new_sched.groupBy("url_hash").agg(
+        F.flatten(F.collect_list(_ev(["schedule"]))).alias("sched_events"),
+        F.max("version").alias("version_set"),
+        F.max("is_seed").alias("was_seed"),
+    )
+    upd_crawl = (
+        ex.select("url_hash", _ev(["crawling", "crawled_finish"]).alias("crawl_events"))
+        .unionByName(
+            failed.select(
+                "url_hash",
+                _ring3(F.concat(F.array_repeat(F.lit("crawling"), attempts),
+                                _ev(["crawled_failure"]))).alias("crawl_events"),
+            )
+        )
+        .unionByName(denied.select("url_hash", _ev(["crawled_failure"]).alias("crawl_events")))
+        .groupBy("url_hash")
+        .agg(F.flatten(F.collect_list("crawl_events")).alias("crawl_events"))
+    )
+    upd_disc = pe.where(~F.col("d_new")).select(
+        "url_hash",
+        F.col("d_requeue").alias("hit_override"),
+        F.col("parent_version").alias("version_cand"),
+    )
+    disc_new = pe.where("d_new").select(
+        "url_hash", "url", "rule_key",
+        F.col("referer_url").alias("n_referer"),
+        F.lit("hit").alias("n_status"),
+        F.col("parent_version").alias("n_version"),
+        (F.coalesce("parent_relation", F.lit("*")) if st["keep_link_relation"]
+         else F.lit(None).cast("string")).alias("n_relation"),
+        "bucket",
+    )
+    seed_new = (
+        new_sched.where("is_seed")
+        .join(url_state.select("url_hash"), "url_hash", "left_anti")
+        .select(
+            "url_hash", "url", "rule_key",
+            F.lit("").alias("n_referer"), F.lit("schedule").alias("n_status"),
+            F.col("version").alias("n_version"),
+            F.lit(None).cast("string").alias("n_relation"),
+        )
+        .withColumn("bucket", canon.bucket_of_hash(buckets))
+    )
+    all_new = disc_new.unionByName(seed_new).dropDuplicates(["url_hash"])
+
+    updates = (
+        upd_sched.join(upd_crawl, "url_hash", "full")
+        .join(upd_disc, "url_hash", "full")
+        .join(all_new.withColumnRenamed("url", "n_url")
+                     .withColumnRenamed("rule_key", "n_rule_key")
+                     .withColumnRenamed("bucket", "n_bucket"),
+              "url_hash", "full")
+        .withColumn(
+            "events",
+            F.concat(F.coalesce("sched_events", EMPTY_ARR()),
+                     F.coalesce("crawl_events", EMPTY_ARR())),
+        )
+        # creation is not a records push: a just-created 'schedule' row drops
+        # its own schedule event (updateLinkState create path :453-478 writes
+        # records=[] — only LATER transitions get pushed)
+        .withColumn(
+            "events",
+            F.when(F.col("n_status") == "schedule",
+                   F.slice(F.col("events"), 2, 2_000_000_000))
+            .otherwise(F.col("events")),
+        )
+        .withColumn("u_bucket", F.coalesce("n_bucket", canon.bucket_of_hash(buckets)))
+    )
+
+    touched_buckets = [r["u_bucket"] for r in updates.select("u_bucket").distinct().collect()]
+    merged = (
+        url_state.where(
+            F.col("bucket").isin(touched_buckets) if touched_buckets else F.lit(False)
+        )
+        .alias("s")
+        .join(updates.alias("u"), "url_hash", "full")
+        .select(
+            "url_hash",
+            F.coalesce("s.url", "u.n_url").alias("url"),
+            F.coalesce("s.rule_key", "u.n_rule_key").alias("rule_key"),
+            F.coalesce("s.referer", "u.n_referer").alias("referer"),
+            F.when(F.coalesce("u.hit_override", F.lit(False)), F.lit("hit"))
+            .otherwise(F.coalesce(F.try_element_at("u.events", F.lit(-1)), "u.n_status", "s.status"))
+            .alias("status"),
+            F.when(F.col("u.n_status").isNotNull(),
+                   _ring3(F.coalesce("u.events", EMPTY_ARR())))
+            .otherwise(_ring3(
+                F.concat(F.coalesce("s.records", EMPTY_ARR()),
+                         F.coalesce("u.events", EMPTY_ARR()))))
+            .alias("records"),
+            F.when(
+                (F.size(F.coalesce("u.events", EMPTY_ARR())) > 0)
+                | F.col("u.n_status").isNotNull(),
+                F.lit(round_ts),
+            ).otherwise(F.col("s.last")).alias("last"),
+            F.coalesce("s.create", F.lit(round_ts)).alias("create"),
+            _merge_version().alias("version"),
+            F.coalesce("s.drill_relation", "u.n_relation").alias("drill_relation"),
+            F.coalesce("s.bucket", "u.u_bucket").alias("bucket"),
+        )
+    )
+
+    # ---------------- D: sinks + commits
+    crawled = ex.where(F.col("rule_type") == "node").select(
+        "url_hash", "url", "rule_key", "referer",
+        F.lit(round_ts).alias("fetched_ts"), F.lit(round_no).alias("round"),
+        F.col("ex.extracted").alias("extracted"),
+        F.col("ex.children").alias("extracted_children"),
+        F.col("ex.drill_relation").alias("drill_relation"),
+    ) if st["save_content"] else spark.createDataFrame([], schema.CRAWLED)
+
+    flog = (
+        ex.select(
+            F.lit(round_no).alias("round"), "url_hash", "url", "host",
+            F.lit("fetched").alias("status"),
+            F.when(F.size("ex.lacks") > 0, F.lit("data_lack")).alias("reason"),
+            F.lit(round_ts).alias("ts"),
+        )
+        .unionByName(
+            failed.select(
+                F.lit(round_no).alias("round"), "url_hash", "url", "host",
+                F.lit("failed").alias("status"),
+                F.when(F.col("html").isNull(), "missing")
+                .otherwise("invalid_content").alias("reason"),
+                F.lit(round_ts).alias("ts"),
+            )
+        )
+        .unionByName(
+            denied.select(
+                F.lit(round_no).alias("round"), "url_hash", "url", "host",
+                F.lit("robots_denied").alias("status"),
+                F.lit("robots").alias("reason"), F.lit(round_ts).alias("ts"),
+            )
+        )
+    )
+    metrics_df = (
+        flog.withColumn("domain", _domain_expr())
+        .groupBy("domain", "status").count()
+        .select(
+            F.lit(round_no).alias("round"), F.lit(_yyyymmdd(round_ts)).alias("date"),
+            "domain", F.col("status").alias("metric"), F.col("count").alias("value"),
+        )
+    )
+
+    new_hashes = all_new.select("url_hash", "bucket")
+    shards_new = bloom.update_shards(spark, shards, new_hashes, st["bloom_keys_per_bucket"])
+
+    snaps = {}
+    frontier_all = frontier.unionByName(
+        frontier_append.select(*[f.name for f in schema.FRONTIER.fields])
+    )
+    # sandbox: physical rewrite drops popped rows (consumed intervals reset);
+    # prod: mode='append' of frontier_append only + consumed-interval metadata
+    snaps["frontier"] = cat.commit("frontier", frontier_all, round_no=round_no)
+    snaps["scheduled"] = cat.commit("scheduled", leftover, round_no=round_no)
+    snaps["url_state"] = cat.commit(
+        "url_state", merged.withColumn("pbucket", F.col("bucket")),
+        mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
+        replaced_partitions={"pbucket": touched_buckets},
+    )
+    snaps["bloom"] = cat.commit(
+        "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
+        mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
+        replaced_partitions={"pbucket": touched_buckets},
+    )
+    snaps["crawled"] = cat.commit("crawled", crawled, mode="append", round_no=round_no)
+    snaps["fetch_log"] = cat.commit("fetch_log", flog, mode="append", round_no=round_no)
+    snaps["metrics"] = cat.commit("metrics", metrics_df, mode="append", round_no=round_no)
+
+    round_metrics = {
+        "round": round_no,
+        "round_ts": round_ts,
+        "fetched": ex.count(),
+        "failed": failed.count(),
+        "denied": denied.count(),
+        "scheduled_backlog": backlog,
+        "balance": balance,
+        "ct_by_rule": ct_by_rule,
+        "popped_intervals": {
+            r["rule_key"]: [int(r["lo"]), int(r["hi"])] for r in popped_bounds
+        },
+    }
+    new_state = {
+        "round": round_no,
+        "first_schedule": first_sched,
+        # consumed rows are physically dropped by the frontier rewrite above;
+        # in append-only mode this would accumulate popped_intervals instead
+        "consumed": {},
+    }
+    cat.commit_round(round_no, snaps, {"state": new_state, "round_metrics": round_metrics})
+
+    for df in (fr2, new_sched, batch, ex, failed, pe, denied):
+        df.unpersist()
+    return new_state
+
+
+def _rank_expr(ctx: CrawlContext):
+    if not ctx.rank:
+        return F.lit(0).cast("long")
+    return F.coalesce(
+        *[F.when(F.col("rule_key") == k, F.lit(v)) for k, v in ctx.rank.items()],
+        F.lit(DISC_RANK),
+    ).cast("long")
+
+
+def _mid_round_overlay(new_sched, ex, failed, denied, round_ts: int):
+    """This round's schedule/crawl events as an overlay keyed by url_hash —
+    the pinned 'discovery observes fetch outcomes' ordering. Round-sized
+    (small), never state-sized."""
+    return (
+        new_sched.select("url_hash", F.lit("schedule").alias("m_status"),
+                         F.lit(round_ts).alias("m_last"), F.col("version"))
+        .unionByName(ex.select("url_hash", F.lit("crawled_finish").alias("m_status"),
+                               F.lit(round_ts).alias("m_last"), "version"))
+        .unionByName(failed.select("url_hash", F.lit("crawled_failure").alias("m_status"),
+                                   F.lit(round_ts).alias("m_last"), "version"))
+        .unionByName(denied.select("url_hash", F.lit("crawled_failure").alias("m_status"),
+                                   F.lit(round_ts).alias("m_last"),
+                                   F.lit(None).cast("long").alias("version")))
+        .groupBy("url_hash")
+        .agg(
+            F.max_by("m_status",
+                     F.when(F.col("m_status") == "schedule", 0).otherwise(1)).alias("m_status"),
+            F.max("m_last").alias("m_last"),
+            F.max("version").alias("m_version"),
+        )
+    )
+
+
+def _discovery_admit_eff(round_ts_ms: int):
+    """discovery_admit over the effective (e_*) state columns."""
+    from ..operators.scheduler import TEN_MIN_MS, TWO_DAYS_MS
+
+    real_interval = (
+        F.when(F.col("e_status").isin("crawling", "schedule"), F.lit(TEN_MIN_MS))
+        .when(F.col("e_status") == "hit", F.lit(TWO_DAYS_MS))
+        .otherwise(F.col("interval_s").cast("long") * 1000)
+    )
+    window_ok = (F.lit(round_ts_ms) - F.coalesce(F.col("e_last"), F.lit(0))) >= real_interval
+    return (F.col("e_status") == "crawled_failure") | window_ok
+
+
+def _merge_version():
+    """version precedence: seed set (schedule_version) → discovery bump (only
+    upward, pipeline.js:159-166) → stored/creation."""
+    base = F.coalesce(F.col("u.version_set"), F.col("s.version"), F.col("u.n_version"))
+    return F.when(
+        F.col("u.version_cand").isNotNull()
+        & (base.isNull() | (F.col("u.version_cand") > base)),
+        F.col("u.version_cand"),
+    ).otherwise(base)
+
+
+def _yyyymmdd(ts_ms: int) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        ts_ms / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y%m%d")
+
+
+def _domain_expr():
+    """Bug-compatible TLD of host (metrics key {metric}:{domain},
+    spider_extend.js:97-169)."""
+    parts = F.split(F.col("host"), r"\.")
+    return F.when(F.size(parts) <= 2, F.col("host")).otherwise(
+        F.array_join(F.slice(parts, 2, 1_000), ".")
+    )

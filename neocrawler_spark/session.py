@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100TB/1000-executor target and merely *tested* on
+local[N]: AQE on (runtime re-plan, skew-join splitting), Arrow on (every pUDF
+crosses the JVM/Python boundary in columnar batches), shuffle partitions
+scaled with parallelism instead of the static 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "neocrawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    shuffle_partitions defaults to the core count — at cluster scale the
+    caller passes ~2-3x total cores instead.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; a real cluster sets this to 2-3x total cores.
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if n in ("*", "") else int(n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # frontier/url_state joins at 10^10 rows benefit from runtime bloom
+        # filters on the non-broadcast side (Spark 3.3+)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

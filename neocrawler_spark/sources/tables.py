@@ -1,0 +1,186 @@
+"""Snapshot table layer: partitioned Parquet + atomic JSON manifests.
+
+The north_rule requires Iceberg-style state checkpointing (resumable,
+per-partition lineage + metrics). The sandbox has no Iceberg runtime jar, so
+this module implements the same *contract* with plain Parquet:
+
+* a table = a directory of immutable snapshot file-sets
+* a manifest per snapshot: file list with per-file rows/bytes, parent
+  snapshot id (lineage), free-form metrics
+* commit = write-files → write-manifest → atomic rename of the CURRENT
+  pointer (readers only ever follow CURRENT, so a crash mid-commit leaves the
+  previous snapshot intact — the resume guarantee)
+* append = new manifest referencing parent files + new files (no rewrite)
+* reads go through the manifest's explicit file list, so time-travel /
+  rollback is `set_current(name, snap)`
+
+Swap-in path for a real cluster: replace Catalog with an Iceberg catalog —
+every call site uses only read / commit / current_snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class Catalog:
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------- paths
+    def _tdir(self, name: str) -> Path:
+        return self.root / name
+
+    def _manifest_path(self, name: str, snap: int) -> Path:
+        return self._tdir(name) / "_manifests" / f"{snap:012d}.json"
+
+    def _current_path(self, name: str) -> Path:
+        return self._tdir(name) / "CURRENT"
+
+    # ----------------------------------------------------------- snapshots
+    def current_snapshot(self, name: str) -> int | None:
+        p = self._current_path(name)
+        if not p.exists():
+            return None
+        return int(p.read_text().strip())
+
+    def set_current(self, name: str, snap: int) -> None:
+        """Atomic pointer swap (rollback / resume)."""
+        p = self._current_path(name)
+        tmp = p.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(str(snap))
+        os.replace(tmp, p)
+
+    def manifest(self, name: str, snap: int | None = None) -> dict | None:
+        if snap is None:
+            snap = self.current_snapshot(name)
+        if snap is None:
+            return None
+        mp = self._manifest_path(name, snap)
+        return json.loads(mp.read_text()) if mp.exists() else None
+
+    # --------------------------------------------------------------- read
+    def read(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
+        m = self.manifest(name)
+        if m is None or not m["files"]:
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.schema(schema).parquet(*[f["path"] for f in m["files"]])
+
+    def exists(self, name: str) -> bool:
+        return self.current_snapshot(name) is not None
+
+    # -------------------------------------------------------------- commit
+    def commit(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        round_no: int | None = None,
+        partition_by: list[str] | None = None,
+        metrics: dict | None = None,
+        replaced_partitions: dict[str, list] | None = None,
+    ) -> int:
+        """Write df as a new snapshot.
+
+        mode='overwrite'  — snapshot is exactly df's files.
+        mode='append'     — snapshot = parent files + df's files.
+        replaced_partitions={'col': [v,...]} with mode='overwrite-partitions'
+          — snapshot = parent files whose partition value ∉ list, + df's
+          files (the MERGE-touches-only-dirty-buckets path: at 10^10 rows a
+          round touches a fraction of buckets; untouched bucket files are
+          carried by reference, never rewritten).
+        """
+        tdir = self._tdir(name)
+        (tdir / "_manifests").mkdir(parents=True, exist_ok=True)
+        parent = self.current_snapshot(name)
+        snap = (parent or 0) + 1
+        data_dir = tdir / f"snap-{snap:012d}"
+
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
+        write_ms = int((time.time() - t0) * 1000)
+
+        new_files = self._scan_files(data_dir)
+        files: list[dict]
+        if mode == "overwrite" or parent is None:
+            files = new_files
+        elif mode == "append":
+            files = list(self.manifest(name, parent)["files"]) + new_files
+        elif mode == "overwrite-partitions":
+            assert replaced_partitions and len(replaced_partitions) == 1
+            col, vals = next(iter(replaced_partitions.items()))
+            tokens = {f"{col}={v}" for v in vals}
+            kept = [
+                f
+                for f in self.manifest(name, parent)["files"]
+                if not any(tok in f["path"].split(os.sep) for tok in tokens)
+            ]
+            files = kept + new_files
+        else:
+            raise ValueError(f"unknown commit mode: {mode}")
+
+        man = {
+            "table": name,
+            "snapshot": snap,
+            "parent": parent,
+            "round": round_no,
+            "mode": mode,
+            "write_ms": write_ms,
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "new_rows": sum(f["rows"] for f in new_files),
+            "metrics": metrics or {},
+        }
+        mp = self._manifest_path(name, snap)
+        tmp = mp.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps(man))
+        os.replace(tmp, mp)
+        self.set_current(name, snap)
+        return snap
+
+    @staticmethod
+    def _scan_files(data_dir: Path) -> list[dict]:
+        out = []
+        for p in sorted(data_dir.rglob("*.parquet")):
+            meta = pq.ParquetFile(p).metadata
+            out.append({"path": str(p), "rows": meta.num_rows, "bytes": p.stat().st_size})
+        return out
+
+    # ------------------------------------------------------------ round log
+    def commit_round(self, round_no: int, snapshots: dict[str, int], metrics: dict) -> None:
+        """Mark a round complete: records every table's snapshot id so resume
+        restores a mutually-consistent view of all state tables."""
+        rdir = self.root / "_rounds"
+        rdir.mkdir(exist_ok=True)
+        p = rdir / f"{round_no:08d}.json"
+        tmp = p.with_suffix(f".tmp-{uuid.uuid4().hex}")
+        tmp.write_text(json.dumps({"round": round_no, "snapshots": snapshots, "metrics": metrics}))
+        os.replace(tmp, p)
+
+    def last_completed_round(self) -> dict | None:
+        rdir = self.root / "_rounds"
+        if not rdir.exists():
+            return None
+        files = sorted(rdir.glob("*.json"))
+        if not files:
+            return None
+        return json.loads(files[-1].read_text())
+
+    def restore_round(self, round_info: dict) -> None:
+        """Point every table's CURRENT at the snapshots of a completed round
+        (discards any partially-committed later round — crash resume)."""
+        for name, snap in round_info["snapshots"].items():
+            self.set_current(name, snap)
