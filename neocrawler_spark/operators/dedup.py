@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines
+(exact, MinHash(+LSH), SimHash, n-gram Jaccard) over the `documents` table.
+
+Everything is built so both sides of the correctness gate share the SAME
+hash primitive: md5 hex → first 15 hex chars → bigint (identical in Spark
+`conv(substring(md5(x),1,15),16,10)` and DuckDB
+`('0x'||substr(md5(x),1,15))::BIGINT`), so signatures match bit-for-bit.
+
+Scale notes:
+* exact dedup — one hash-agg shuffle on md5(text): partial agg map-side.
+* MinHash — explode(tokens)×perms is the classic shuffle-heavy shape; the
+  groupBy(doc, perm).min is map-side combinable so the shuffle carries only
+  |docs|×|perms| rows, not |tokens|×|perms|.
+* LSH banding — candidate pairs come from a self-join on (band, band_hash)
+  buckets: equi join, broadcastable band table, no O(n²) pair scan.
+* SimHash — bit-matrix aggregate; sum over tokens per bit is map-side
+  combinable, output one row per doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .analytics import load
+
+P31 = 2147483647  # 2^31-1 (Mersenne prime) — keeps a*h+b below 2^62
+# deterministic permutation parameters (a odd, b arbitrary, both < 2^31)
+PERMS = [
+    (1, 15485863, 32452843),
+    (2, 49979687, 67867967),
+    (3, 86028121, 93, ),
+    (4, 104395301, 122949823),
+    (5, 141650939, 160481183),
+    (6, 179424673, 198491317),
+    (7, 217645177, 236887691),
+    (8, 256203161, 275604541),
+]
+PERMS = [(i, a, b % P31) for i, a, b in PERMS]
+N_BANDS = 4  # 8 perms → 4 bands of 2 rows (LSH)
+
+TOKENIZE = "array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+TOKENIZE_DUCK = "list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+TOKHASH = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint) % 2147483647"
+TOKHASH_DUCK = "('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647"
+
+
+def _perms_values_sql() -> str:
+    return ", ".join(f"({i}, {a}, {b})" for i, a, b in PERMS)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(TOKENIZE)).alias("tok"))
+        .withColumn("h", F.expr(TOKHASH))
+    )
+
+
+# ----------------------------------------------------------------- exact
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-of-text groups, canonical = min doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ----------------------------------------------------------------- minhash
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash signature rows (doc_id, perm, minhash)."""
+    toks = _tokens(spark, sf_dir)
+    perms = spark.createDataFrame(PERMS, "perm int, a long, b long")
+    return (
+        toks.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % P31).alias("minhash"))
+    )
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENIZE_DUCK}) AS tok FROM documents
+), h AS (SELECT doc_id, {TOKHASH_DUCK} AS h FROM toks),
+perms(perm, a, b) AS (VALUES {_perms_values_sql()})
+SELECT doc_id, perm, min((a * h + b) % {P31}) AS minhash
+FROM h, perms GROUP BY doc_id, perm
+"""
+
+
+# ----------------------------------------------------------------- minhash-LSH
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+    band_hash = md5 of the band's concatenated minhashes; pairs via equi
+    self-join on (band, band_hash) — the scale path (no all-pairs scan)."""
+    sig = q_dedup_minhash(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("perm") - 1) % N_BANDS)
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(perm, minhash))), x -> cast(x.minhash as string))"),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENIZE_DUCK}) AS tok FROM documents
+), h AS (SELECT doc_id, {TOKHASH_DUCK} AS h FROM toks),
+perms(perm, a, b) AS (VALUES {_perms_values_sql()}),
+sig AS (
+  SELECT doc_id, perm, min((a * h + b) % {P31}) AS minhash
+  FROM h, perms GROUP BY doc_id, perm
+),
+bands AS (
+  SELECT doc_id, (perm - 1) % {N_BANDS} AS band,
+         md5(array_to_string(list(minhash ORDER BY perm), ',')) AS band_hash
+  FROM sig GROUP BY doc_id, (perm - 1) % {N_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+# ----------------------------------------------------------------- simhash
+N_BITS = 48  # bits of the 60-bit token hash used for the fingerprint
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprint per doc: bit j of the fingerprint is the sign of
+    sum over tokens of ±1 according to bit j of the token hash."""
+    toks = _tokens(spark, sf_dir)
+    bits = spark.createDataFrame(
+        [(j, 1 << j) for j in range(N_BITS)], "j int, p2 long"
+    )
+    return (
+        toks.crossJoin(F.broadcast(bits))
+        .withColumn("bit", F.expr("(h div p2) % 2"))  # integer div: double / loses bits >2^53
+        .groupBy("doc_id", "j", "p2")
+        .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("v") > 0, F.col("p2")).otherwise(0)).alias("simhash"))
+    )
+
+
+def sql_dedup_simhash() -> str:
+    bits_values = ", ".join(f"({j}, {1 << j})" for j in range(N_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENIZE_DUCK}) AS tok FROM documents
+), h AS (SELECT doc_id, {TOKHASH_DUCK} AS h FROM toks),
+bits(j, p2) AS (VALUES {bits_values}),
+v AS (
+  SELECT doc_id, j, p2,
+         sum(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, bits GROUP BY doc_id, j, p2
+)
+SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END) AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+# ----------------------------------------------------------------- n-gram jaccard
+NGRAM = 3
+JACCARD_MIN = 0.15
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Pairwise word-3-gram Jaccard over a bounded subset (doc_id < 60) —
+    the exact near-dup baseline the LSH path approximates. The pair scan is
+    shingle-equi-join driven (docs sharing ≥1 shingle), not all-pairs."""
+    d = load(spark, sf_dir, "documents").where("doc_id < 60")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform("
+                f"  filter(sequence(1, greatest(size(split(lower(text), '\\\\s+')) - {NGRAM - 1}, 1)),"
+                f"         i -> i <= size(split(lower(text), '\\\\s+')) - {NGRAM - 1}),"
+                f"  i -> array_join(slice(split(lower(text), '\\\\s+'), i, {NGRAM}), ' ')))"
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH docs AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+              FROM documents WHERE doc_id < 60),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{NGRAM - 1}], ' ') AS shingle
+  FROM docs, LATERAL unnest(generate_series(1, greatest(len(w) - {NGRAM - 1}, 0))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_MIN}
+"""
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash()),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+}

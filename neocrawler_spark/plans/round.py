@@ -535,6 +535,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
 
     new_hashes = all_new.select("url_hash", "bucket")
     shards_new = bloom.update_shards(spark, shards, new_hashes, st["bloom_keys_per_bucket"])
+    # bloom's replaced-partition set is ONLY buckets holding new hashes —
+    # url_state may touch more buckets (status-only updates) whose shards
+    # must carry over untouched
+    bloom_touched = [r["bucket"] for r in new_hashes.select("bucket").distinct().collect()]
 
     snaps = {}
     frontier_all = frontier.unionByName(
@@ -552,7 +556,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     snaps["bloom"] = cat.commit(
         "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
         mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
-        replaced_partitions={"pbucket": touched_buckets},
+        replaced_partitions={"pbucket": bloom_touched},
     )
     snaps["crawled"] = cat.commit("crawled", crawled, mode="append", round_no=round_no)
     snaps["fetch_log"] = cat.commit("fetch_log", flog, mode="append", round_no=round_no)
