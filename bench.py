@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline metric — crawl rounds (URLs scheduled+extracted
+per second) on a deterministic synthetic corpus — plus the headline analytic
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "...", "queries": {...}, "sf": ...}
+
+--scaling mode: run the SAME crawl job at local[8] and local[32] (N vs 4N
+cores — the sandbox stand-in for the north_rule's two-cluster-size run) and
+report throughput at both plus scaling efficiency into BENCH/BASELINE.md.
+Run each level in a separate process (spark masters can't be swapped in-JVM):
+  python bench.py --scaling          # orchestrates both, writes BENCH/
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# bench-scale site graph: ~11k pages, hot domain ≈ 53% (skew knob on)
+BENCH_PARAMS = dict(n_domains=4, cats=6, lists_per_cat=8,
+                    details_per_list=30, hot_details_per_list=120)
+BENCH_ROUNDS = 4
+BENCH_SETTINGS = {
+    "schedule_quantity_limitation": 50_000,  # throughput mode: quota open
+    "buckets": 64,
+    "bloom_keys_per_bucket": 50_000,
+    "default_host_budget": 1 << 30,
+}
+
+HEADLINE_QUERIES = [
+    "seen_probe_anti_join",
+    "fifo_topk_per_group",
+    "weighted_fair_quota",
+    "politeness_budget_topk",
+    "metrics_rollup",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "token_count",
+    "text_quality",
+    "doc_fingerprint",
+]
+
+
+def run_crawl(spark, rounds: int = BENCH_ROUNDS) -> dict:
+    from neocrawler_spark import synth
+    from neocrawler_spark.plans.round import CrawlContext
+    from neocrawler_spark.rules import load_rules
+    from neocrawler_spark.sources.tables import Catalog
+    from neocrawler_spark.streaming.driver import run_rounds
+
+    params = synth.site_params(**BENCH_PARAMS)
+    pages = synth.gen_pages_df(spark, params)
+    pages = pages.persist()
+    n_pages = pages.count()  # materialize corpus outside the timed window
+
+    wh = tempfile.mkdtemp(prefix="ncs_bench_")
+    try:
+        ctx = CrawlContext(
+            spark, Catalog(wh), load_rules(synth.gen_rules(params)), pages,
+            synth.gen_robots_df(spark, params), settings=dict(BENCH_SETTINGS),
+        )
+        t0 = time.time()
+        metrics = run_rounds(ctx, rounds)
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        pages.unpersist()
+
+    fetched = sum(m["fetched"] for m in metrics)
+    failed = sum(m["failed"] for m in metrics)
+    processed = fetched + failed
+    return {
+        "n_pages": n_pages,
+        "rounds": rounds,
+        "urls_processed": processed,
+        "urls_extracted": fetched,
+        "wall_s": round(wall, 3),
+        "urls_per_sec": round(processed / wall, 2),
+        "per_round": [
+            {"round": m["round"], "fetched": m["fetched"], "wall_s": round(m["wall_s"], 2)}
+            for m in metrics
+        ],
+    }
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+        _ = n
+    return out
+
+
+def bench_once(master: str, shuffle: int) -> dict:
+    from neocrawler_spark.session import get_spark
+
+    spark = get_spark("bench", master=master, shuffle_partitions=shuffle)
+    crawl = run_crawl(spark)
+    queries = run_queries(spark)
+    return {"crawl": crawl, "queries": queries}
+
+
+def main():
+    if "--scaling" in sys.argv:
+        return scaling_orchestrate()
+    if "--single" in sys.argv:  # child mode for --scaling
+        cores = int(sys.argv[sys.argv.index("--single") + 1])
+        from neocrawler_spark.session import get_spark
+
+        spark = get_spark("bench-scale", master=f"local[{cores}]", shuffle_partitions=cores)
+        crawl = run_crawl(spark)
+        print("SCALERESULT " + json.dumps({"cores": cores, **crawl}))
+        return
+
+    res = bench_once(f"local[{CPUS}]", CPUS)
+    line = {
+        "metric": "urls_scheduled_extracted_per_sec",
+        "value": res["crawl"]["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": res["queries"],
+        "sf": SF_DIR,
+        "crawl": res["crawl"],
+    }
+    print(json.dumps(line))
+
+
+def scaling_orchestrate():
+    results = {}
+    for cores in (8, 32):
+        p = subprocess.run(
+            [sys.executable, __file__, "--single", str(cores)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for ln in p.stdout.splitlines():
+            if ln.startswith("SCALERESULT "):
+                results[cores] = json.loads(ln[len("SCALERESULT "):])
+        if cores not in results:
+            print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"scaling run at {cores} cores failed")
+    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = (t32 / t8) / 4
+    out = {"local8": results[8], "local32": results[32],
+           "scaling_efficiency": round(eff, 3)}
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,8 +14,11 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "der", "die",
              "le", "la", "el", "de", "und", "et", "y"]
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
-# BPE-ish token regex: letter runs, digit runs, single non-alnum marks
+# BPE-ish token regex: letter runs, digit runs, single non-alnum marks.
+# Spark SQL string literals eat one backslash level → the Spark variant
+# double-escapes \s.
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+TOKEN_RE_SPARK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
 
 
 # --------------------------------------------------------------- token count
@@ -24,7 +27,7 @@ def q_token_count(spark, sf_dir):
     return d.select(
         "doc_id",
         F.expr("size(regexp_extract_all(text, '\\\\S+', 0))").alias("ws_tokens"),
-        F.expr(f"size(regexp_extract_all(text, '{TOKEN_RE}', 0))").alias("bpe_ish_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0))").alias("bpe_ish_tokens"),
         F.length("text").alias("n_chars"),
     )
 

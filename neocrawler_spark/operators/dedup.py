@@ -114,6 +114,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             ).alias("band_hash")
         )
     )
+    bands = bands.persist()  # self-join: avoid recomputing the tokens explode twice
     a = bands.alias("a")
     b = bands.alias("b")
     return (

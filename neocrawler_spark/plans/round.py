@@ -190,10 +190,32 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         .join(F.broadcast(rules_df.select("rule_key", "interval_s", "rule_rank")),
               "rule_key", "left")
         .withColumn(
-            "admit",
+            "admit_pre",
             # missing url_info → popped but not counted (checkURL:347)
             F.col("status").isNotNull() & scheduler_admit(round_ts, F.col("interval_s")),
         )
+    )
+    # Sequential-pop fidelity: once a URL is scheduled this round (by a seed
+    # push or an earlier duplicate frontier entry), later pops of the same
+    # URL see status='schedule' (60-min window) and are rejected
+    # (checkURL:381-388). Pre-round state can't see that, so: (a) frontier
+    # entries for this round's seed URLs never admit; (b) only the FIRST
+    # occurrence of a url_hash in global pop order admits.
+    pop_order_global = F.when(
+        F.col("rule_key").isin(*ctx.lifo) if ctx.lifo else F.lit(False), -F.col("seq")
+    ).otherwise(F.col("seq"))
+    w_dup = Window.partitionBy("url_hash").orderBy("rule_rank", pop_order_global)
+    fr = (
+        fr.join(
+            F.broadcast(seeds_df.select("url_hash").distinct().withColumn("is_seed_url", F.lit(True))),
+            "url_hash", "left",
+        )
+        .withColumn("dup_rn", F.row_number().over(w_dup))
+        .withColumn(
+            "admit",
+            F.col("admit_pre") & F.col("is_seed_url").isNull() & (F.col("dup_rn") == 1),
+        )
+        .drop("is_seed_url", "dup_rn", "admit_pre")
     )
     avail = {
         r["rule_key"]: r["available"]
@@ -263,7 +285,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         F.coalesce("max_fetches_per_round", F.lit(st["default_host_budget"])),
     )
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
-    denied = q.where(~allowed_col).select("url_hash", "url", "rule_key", "host").persist()
+    denied = q.where(~allowed_col).select("url_hash", "url", "rule_key", "host", "seq").persist()
     qa = q.where(allowed_col)
     surv = per_host_budget(qa, ["seq"], salts=st["politeness_salts"])
     batch = (
@@ -502,14 +524,14 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
 
     flog = (
         ex.select(
-            F.lit(round_no).alias("round"), "url_hash", "url", "host",
+            F.lit(round_no).alias("round"), "seq", "url_hash", "url", "host",
             F.lit("fetched").alias("status"),
             F.when(F.size("ex.lacks") > 0, F.lit("data_lack")).alias("reason"),
             F.lit(round_ts).alias("ts"),
         )
         .unionByName(
             failed.select(
-                F.lit(round_no).alias("round"), "url_hash", "url", "host",
+                F.lit(round_no).alias("round"), "seq", "url_hash", "url", "host",
                 F.lit("failed").alias("status"),
                 F.when(F.col("html").isNull(), "missing")
                 .otherwise("invalid_content").alias("reason"),
@@ -518,7 +540,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .unionByName(
             denied.select(
-                F.lit(round_no).alias("round"), "url_hash", "url", "host",
+                F.lit(round_no).alias("round"), "seq", "url_hash", "url", "host",
                 F.lit("robots_denied").alias("status"),
                 F.lit("robots").alias("reason"), F.lit(round_ts).alias("ts"),
             )
@@ -540,27 +562,38 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # must carry over untouched
     bloom_touched = [r["bucket"] for r in new_hashes.select("bucket").distinct().collect()]
 
-    snaps = {}
-    frontier_all = frontier.unionByName(
-        frontier_append.select(*[f.name for f in schema.FRONTIER.fields])
+    frontier_cols = [f.name for f in schema.FRONTIER.fields]
+    frontier_all = fr2.where(~F.col("popped")).select(*frontier_cols).unionByName(
+        frontier_append.select(*frontier_cols)
     )
     # sandbox: physical rewrite drops popped rows (consumed intervals reset);
-    # prod: mode='append' of frontier_append only + consumed-interval metadata
-    snaps["frontier"] = cat.commit("frontier", frontier_all, round_no=round_no)
-    snaps["scheduled"] = cat.commit("scheduled", leftover, round_no=round_no)
-    snaps["url_state"] = cat.commit(
-        "url_state", merged.withColumn("pbucket", F.col("bucket")),
-        mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
-        replaced_partitions={"pbucket": touched_buckets},
-    )
-    snaps["bloom"] = cat.commit(
-        "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
-        mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
-        replaced_partitions={"pbucket": bloom_touched},
-    )
-    snaps["crawled"] = cat.commit("crawled", crawled, mode="append", round_no=round_no)
-    snaps["fetch_log"] = cat.commit("fetch_log", flog, mode="append", round_no=round_no)
-    snaps["metrics"] = cat.commit("metrics", metrics_df, mode="append", round_no=round_no)
+    # prod: mode='append' of frontier_append only + consumed-interval metadata.
+    # Commits are independent table writes → run them as concurrent Spark
+    # jobs (scheduler pools share the executors); the round's fixed wall cost
+    # is max(write) not sum(write). Atomicity is unchanged: the round record
+    # below is still the only commit point readers trust for resume.
+    from concurrent.futures import ThreadPoolExecutor
+
+    commit_plan = {
+        "frontier": lambda: cat.commit("frontier", frontier_all, round_no=round_no),
+        "scheduled": lambda: cat.commit("scheduled", leftover, round_no=round_no),
+        "url_state": lambda: cat.commit(
+            "url_state", merged.withColumn("pbucket", F.col("bucket")),
+            mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
+            replaced_partitions={"pbucket": touched_buckets},
+        ),
+        "bloom": lambda: cat.commit(
+            "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
+            mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
+            replaced_partitions={"pbucket": bloom_touched},
+        ),
+        "crawled": lambda: cat.commit("crawled", crawled, mode="append", round_no=round_no),
+        "fetch_log": lambda: cat.commit("fetch_log", flog, mode="append", round_no=round_no),
+        "metrics": lambda: cat.commit("metrics", metrics_df, mode="append", round_no=round_no),
+    }
+    with ThreadPoolExecutor(max_workers=len(commit_plan)) as pool:
+        futures = {name: pool.submit(fn) for name, fn in commit_plan.items()}
+        snaps = {name: fut.result() for name, fut in futures.items()}
 
     round_metrics = {
         "round": round_no,

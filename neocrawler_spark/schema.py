@@ -119,6 +119,7 @@ CRAWLED = T.StructType(
 FETCH_LOG = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), True),  # total crawl order evidence
         T.StructField("url_hash", T.StringType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("host", T.StringType(), True),
