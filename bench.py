@@ -31,6 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # bench-scale site graph: ~11k pages, hot domain ≈ 53% (skew knob on)
 BENCH_PARAMS = dict(n_domains=4, cats=6, lists_per_cat=8,
                     details_per_list=30, hot_details_per_list=120)
+# scaling-scale graph: ~200k pages so compute dominates per-round overhead
+SCALING_PARAMS = dict(n_domains=4, cats=8, lists_per_cat=8,
+                      details_per_list=400, hot_details_per_list=1600)
 BENCH_ROUNDS = 4
 BENCH_SETTINGS = {
     "schedule_quantity_limitation": 50_000,  # throughput mode: quota open
@@ -56,20 +59,23 @@ HEADLINE_QUERIES = [
 ]
 
 
-def run_crawl(spark, rounds: int = BENCH_ROUNDS) -> dict:
+def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None) -> dict:
     from neocrawler_spark import synth
     from neocrawler_spark.plans.round import CrawlContext
     from neocrawler_spark.rules import load_rules
     from neocrawler_spark.sources.tables import Catalog
     from neocrawler_spark.streaming.driver import run_rounds
 
-    params = synth.site_params(**BENCH_PARAMS)
-    pages = synth.gen_pages_df(spark, params)
-    pages = pages.persist()
-    n_pages = pages.count()  # materialize corpus outside the timed window
-
+    params = synth.site_params(**(site_params or BENCH_PARAMS))
     wh = tempfile.mkdtemp(prefix="ncs_bench_")
     try:
+        # corpus lives on disk like a real pages table (untimed generation):
+        # the fetch join then reads parquet with pushdown, as in prod
+        corpus_dir = f"{wh}/pages_corpus"
+        synth.gen_pages_df(spark, params).write.mode("overwrite").parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir)
+        n_pages = pages.count()
+
         ctx = CrawlContext(
             spark, Catalog(wh), load_rules(synth.gen_rules(params)), pages,
             synth.gen_robots_df(spark, params), settings=dict(BENCH_SETTINGS),
@@ -79,7 +85,6 @@ def run_crawl(spark, rounds: int = BENCH_ROUNDS) -> dict:
         wall = time.time() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-        pages.unpersist()
 
     fetched = sum(m["fetched"] for m in metrics)
     failed = sum(m["failed"] for m in metrics)
@@ -128,7 +133,7 @@ def main():
         from neocrawler_spark.session import get_spark
 
         spark = get_spark("bench-scale", master=f"local[{cores}]", shuffle_partitions=cores)
-        crawl = run_crawl(spark)
+        crawl = run_crawl(spark, site_params=SCALING_PARAMS)
         print("SCALERESULT " + json.dumps({"cores": cores, **crawl}))
         return
 

@@ -96,35 +96,53 @@ def consume_quota(
     )
 
 
+UNGATED_BUDGET = 1 << 29  # budgets at/above this mean "no per-host cap"
+
+
 def per_host_budget(
     scheduled: DataFrame,
     order_cols: list[str],
     budget_col: str = "max_fetches_per_round",
     salts: int = 16,
+    delay_col: str = "crawl_delay_s",
 ) -> DataFrame:
     """Politeness top-k per host (north_rule; the reference's analog is the
     spider_concurrency gate, spider.js:262). Appends `host_rank` (1-based
     fetch order within host) and `in_budget`.
 
-    Two-phase top-k to defuse host skew at 10^10 scale: a salted local
-    row_number prunes each host's candidates to ≤ salts×k rows before the
-    exact per-host window — the hot host never funnels its whole queue
-    through one task, only salts×k survivors.
+    Skew design, two layers:
+    * hosts with NO effective constraint (unbounded budget, zero delay)
+      bypass the per-host window entirely — the hot domain (50% of a crawl is
+      one host, the synth skew knob) must never funnel through a single
+      sort task when politeness doesn't require an order at all;
+    * constrained hosts go through a salted two-phase top-k: a local
+      row_number per (host, salt) prunes each host to ≤ salts×k rows before
+      the exact per-host window, so the exact sort sees O(salts×k), not the
+      host's whole queue.
     """
     order = [F.col(c) for c in order_cols]
+    budget = F.coalesce(F.col(budget_col), F.lit(2**31 - 1))
+    delay = (
+        F.coalesce(F.col(delay_col), F.lit(0.0))
+        if delay_col in scheduled.columns
+        else F.lit(0.0)
+    )
+    gated_cond = (budget < F.lit(UNGATED_BUDGET)) | (delay > 0)
+    ungated = scheduled.where(~gated_cond).withColumn(
+        "host_rank", F.lit(1)
+    ).withColumn("in_budget", F.lit(True))
+
+    gated = scheduled.where(gated_cond)
     local_w = Window.partitionBy(F.col("host"), F.crc32(F.col("url_hash")) % salts).orderBy(*order)
-    pruned = scheduled.withColumn("_lr", F.row_number().over(local_w)).where(
-        F.col("_lr") <= F.coalesce(F.col(budget_col), F.lit(2**31 - 1))
+    pruned = gated.withColumn("_lr", F.row_number().over(local_w)).where(
+        F.col("_lr") <= budget
     )
     exact_w = Window.partitionBy("host").orderBy(*order)
     ranked = pruned.withColumn("host_rank", F.row_number().over(exact_w)).drop("_lr")
-    survivors = ranked.withColumn(
-        "in_budget",
-        F.col("host_rank") <= F.coalesce(F.col(budget_col), F.lit(2**31 - 1)),
-    )
-    # rows pruned by the salted pass are by construction over budget; they are
-    # re-derived by the caller as (scheduled − in_budget survivors)
-    return survivors
+    survivors = ranked.withColumn("in_budget", F.col("host_rank") <= budget)
+    # rows pruned by the salted pass are by construction over budget; the
+    # caller re-derives them as (scheduled − in_budget survivors)
+    return survivors.unionByName(ungated)
 
 
 def robots_allowed(url_col: Column, host_col: Column, disallow_col: Column) -> Column:

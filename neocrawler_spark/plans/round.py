@@ -454,7 +454,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .withColumn("bucket", canon.bucket_of_hash(buckets))
     )
-    all_new = disc_new.unionByName(seed_new).dropDuplicates(["url_hash"])
+    all_new = disc_new.unionByName(seed_new).dropDuplicates(["url_hash"]).persist()
 
     updates = (
         upd_sched.join(upd_crawl, "url_hash", "full")
@@ -478,6 +478,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             .otherwise(F.col("events")),
         )
         .withColumn("u_bucket", F.coalesce("n_bucket", canon.bucket_of_hash(buckets)))
+        .persist()  # consumed by touched-bucket collect AND the merge write
     )
 
     touched_buckets = [r["u_bucket"] for r in updates.select("u_bucket").distinct().collect()]
@@ -546,6 +547,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             )
         )
     )
+    flog = flog.persist()  # consumed by the fetch_log commit AND the metrics agg
     metrics_df = (
         flog.withColumn("domain", _domain_expr())
         .groupBy("domain", "status").count()
@@ -617,7 +619,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     }
     cat.commit_round(round_no, snaps, {"state": new_state, "round_metrics": round_metrics})
 
-    for df in (fr2, new_sched, batch, ex, failed, pe, denied):
+    for df in (fr2, new_sched, batch, ex, failed, pe, denied, updates, all_new, flog):
         df.unpersist()
     return new_state
 

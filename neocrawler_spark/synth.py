@@ -340,7 +340,7 @@ def gen_robots_rows(params: dict) -> list[dict]:
         else:
             rows.append(
                 {"host": host_of(d), "disallow": [],
-                 "crawl_delay_s": 0.0, "max_fetches_per_round": 1_000_000}
+                 "crawl_delay_s": 0.0, "max_fetches_per_round": 1 << 30}
             )
     return rows
 
