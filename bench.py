@@ -34,6 +34,9 @@ BENCH_PARAMS = dict(n_domains=4, cats=6, lists_per_cat=8,
 # scaling-scale graph: ~200k pages so compute dominates per-round overhead
 SCALING_PARAMS = dict(n_domains=4, cats=8, lists_per_cat=8,
                       details_per_list=400, hot_details_per_list=1600)
+SCALING_SETTINGS = {"schedule_quantity_limitation": 250_000, "buckets": 64,
+                    "bloom_keys_per_bucket": 100_000}
+SCALING_ROUNDS = 5
 BENCH_ROUNDS = 4
 BENCH_SETTINGS = {
     "schedule_quantity_limitation": 50_000,  # throughput mode: quota open
@@ -59,7 +62,8 @@ HEADLINE_QUERIES = [
 ]
 
 
-def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None) -> dict:
+def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None,
+              settings: dict | None = None) -> dict:
     from neocrawler_spark import synth
     from neocrawler_spark.plans.round import CrawlContext
     from neocrawler_spark.rules import load_rules
@@ -78,7 +82,8 @@ def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None
 
         ctx = CrawlContext(
             spark, Catalog(wh), load_rules(synth.gen_rules(params)), pages,
-            synth.gen_robots_df(spark, params), settings=dict(BENCH_SETTINGS),
+            synth.gen_robots_df(spark, params),
+            settings=dict(settings or BENCH_SETTINGS),
         )
         t0 = time.time()
         metrics = run_rounds(ctx, rounds)
@@ -133,7 +138,8 @@ def main():
         from neocrawler_spark.session import get_spark
 
         spark = get_spark("bench-scale", master=f"local[{cores}]", shuffle_partitions=cores)
-        crawl = run_crawl(spark, site_params=SCALING_PARAMS)
+        crawl = run_crawl(spark, rounds=SCALING_ROUNDS, site_params=SCALING_PARAMS,
+                          settings=SCALING_SETTINGS)
         print("SCALERESULT " + json.dumps({"cores": cores, **crawl}))
         return
 
