@@ -232,6 +232,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     popped_bounds = (
         fr2.where("popped").groupBy("rule_key")
         .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
+        if st.get("collect_pop_metrics") else []
     )
 
     # ---------------- A3: assemble the scheduled queue (rpush order pinned)
@@ -547,7 +548,15 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             )
         )
     )
-    flog = flog.persist()  # consumed by the fetch_log commit AND the metrics agg
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    flog = flog.observe(
+        obs,
+        F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("fetched"),
+        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
+        F.sum(F.when(F.col("status") == "robots_denied", 1).otherwise(0)).alias("denied"),
+    ).persist()  # consumed by the fetch_log commit AND the metrics agg
     metrics_df = (
         flog.withColumn("domain", _domain_expr())
         .groupBy("domain", "status").count()
@@ -578,7 +587,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
 
     commit_plan = {
         "frontier": lambda: cat.commit("frontier", frontier_all, round_no=round_no),
-        "scheduled": lambda: cat.commit("scheduled", leftover, round_no=round_no),
+        "scheduled": lambda: cat.commit("scheduled", leftover.coalesce(4), round_no=round_no),
         "url_state": lambda: cat.commit(
             "url_state", merged.withColumn("pbucket", F.col("bucket")),
             mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
@@ -590,19 +599,20 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             replaced_partitions={"pbucket": bloom_touched},
         ),
         "crawled": lambda: cat.commit("crawled", crawled, mode="append", round_no=round_no),
-        "fetch_log": lambda: cat.commit("fetch_log", flog, mode="append", round_no=round_no),
-        "metrics": lambda: cat.commit("metrics", metrics_df, mode="append", round_no=round_no),
+        "fetch_log": lambda: cat.commit("fetch_log", flog.coalesce(4), mode="append", round_no=round_no),
+        "metrics": lambda: cat.commit("metrics", metrics_df.coalesce(1), mode="append", round_no=round_no),
     }
     with ThreadPoolExecutor(max_workers=len(commit_plan)) as pool:
         futures = {name: pool.submit(fn) for name, fn in commit_plan.items()}
         snaps = {name: fut.result() for name, fut in futures.items()}
 
+    counts = obs.get  # filled by the fetch_log/metrics write actions above
     round_metrics = {
         "round": round_no,
         "round_ts": round_ts,
-        "fetched": ex.count(),
-        "failed": failed.count(),
-        "denied": denied.count(),
+        "fetched": int(counts.get("fetched") or 0),
+        "failed": int(counts.get("failed") or 0),
+        "denied": int(counts.get("denied") or 0),
         "scheduled_backlog": backlog,
         "balance": balance,
         "ct_by_rule": ct_by_rule,
