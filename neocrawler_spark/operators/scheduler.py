@@ -51,9 +51,48 @@ def discovery_admit(round_ts_ms: int, interval_s: Column, link_version: Column) 
     return (F.col("status") == "crawled_failure") | window_ok
 
 
+def quota_cts(avail_df: DataFrame, rules_df: DataFrame, avg_rate: float) -> DataFrame:
+    """Distributed weighted-fair quota with sequential leftover carry
+    (scheduler/index.js:210, 250-254) — no driver loop, no collect.
+
+    The carry recursion left_i = max(0, left_{i-1} + ceil_i - avail_i) is a
+    running-max, realized via the drawdown identity
+    x_i = prefix_i - min_{0<=j<=i} prefix_j over a window ordered by
+    rule_rank (rate desc). The window runs over #rules rows (config-sized).
+
+    avail_df: (rule_key, available); rules_df: (rule_key, rate, rule_rank).
+    Returns (rule_key, ct).
+    """
+    g = (
+        rules_df.select("rule_key", "rate", "rule_rank")
+        .join(avail_df, "rule_key", "left")
+        .withColumn("avail", F.coalesce("available", F.lit(0)))
+        .withColumn("ceil_ct", F.ceil(F.lit(avg_rate) * F.col("rate")))
+        .withColumn("d", F.col("ceil_ct") - F.col("avail"))
+    )
+    w = Window.orderBy("rule_rank")
+    prefix = F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    g = g.withColumn("prefix", prefix).withColumn(
+        "carry_in",
+        F.coalesce(
+            F.lag("prefix").over(w)
+            - F.least(
+                F.lit(0),
+                F.min(F.least(F.lit(0), F.col("prefix"))).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            ),
+            F.lit(0),
+        ),
+    )
+    return g.select(
+        "rule_key", (F.col("ceil_ct") + F.col("carry_in")).cast("long").alias("ct")
+    )
+
+
 def consume_quota(
     admits: DataFrame,
-    ct_by_rule: dict[str, int],
+    ct_by_rule: "dict[str, int] | DataFrame",
     lifo_rules: set[str],
 ) -> DataFrame:
     """Realize the sequential pop loop (scheduler/index.js:216-256) as a
@@ -81,16 +120,18 @@ def consume_quota(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     admits_before = F.coalesce(F.sum(F.col("admit").cast("long")).over(w), F.lit(0))
-    ct_expr = F.coalesce(
-        *[
-            F.when(F.col("rule_key") == k, F.lit(v))
-            for k, v in ct_by_rule.items()
-        ],
-        F.lit(0),
-    ) if ct_by_rule else F.lit(0)
+    if isinstance(ct_by_rule, DataFrame):
+        admits = admits.join(
+            F.broadcast(ct_by_rule.withColumnRenamed("ct", "_ct")), "rule_key", "left"
+        ).withColumn("_ct", F.coalesce("_ct", F.lit(0)))
+    else:
+        ct_expr = F.coalesce(
+            *[F.when(F.col("rule_key") == k, F.lit(v)) for k, v in ct_by_rule.items()],
+            F.lit(0),
+        ) if ct_by_rule else F.lit(0)
+        admits = admits.withColumn("_ct", ct_expr)
     return (
-        admits.withColumn("_ct", ct_expr)
-        .withColumn("popped", admits_before < F.col("_ct"))
+        admits.withColumn("popped", admits_before < F.col("_ct"))
         .withColumn("sched", F.col("popped") & F.col("admit"))
         .drop("_ct")
     )

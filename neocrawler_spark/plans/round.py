@@ -40,6 +40,7 @@ from ..operators import bloom
 from ..operators.scheduler import (
     consume_quota,
     per_host_budget,
+    quota_cts,
     robots_allowed,
     scheduler_admit,
 )
@@ -136,6 +137,10 @@ def _ring3(col):
 
 
 def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
+    import time as _time
+    _t = {"start": _time.time()}
+    def _mark(name):
+        _t[name] = _time.time()
     spark, cat, st = ctx.spark, ctx.catalog, ctx.settings
     if state is None:
         state = load_state(cat)
@@ -217,18 +222,15 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .drop("is_seed_url", "dup_rn", "admit_pre")
     )
-    avail = {
-        r["rule_key"]: r["available"]
-        for r in fr.groupBy("rule_key")
-        .agg(F.sum(F.col("admit").cast("long")).alias("available"))
-        .collect()
-    }
-    ct_by_rule = quota_with_carry(
-        [{"key": r["key"], "rate": r["rate"], "available": avail.get(r["key"], 0)}
-         for r in ctx.rules],
-        balance, ctx.total_rates,
+    # fully distributed quota: per-rule admit counts + drawdown-window carry,
+    # all inside ONE plan so Catalyst reuses the frontier shuffle (no
+    # driver-side collect between the aggregate and the consumption window)
+    avail_df = fr.groupBy("rule_key").agg(
+        F.sum(F.col("admit").cast("long")).alias("available")
     )
-    fr2 = consume_quota(fr, ct_by_rule, ctx.lifo).persist()
+    avg_rate = (balance / ctx.total_rates) if ctx.total_rates else 0.0
+    ct_df = quota_cts(avail_df, rules_df, avg_rate)
+    fr2 = consume_quota(fr, ct_df, ctx.lifo).persist()
     popped_bounds = (
         fr2.where("popped").groupBy("rule_key")
         .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
@@ -299,6 +301,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         .drop("disallow", "crawl_delay_s", "max_fetches_per_round", "in_budget")
         .persist()
     )
+    batch.count()  # barrier #0: materialize phase A (quota+politeness) once
+    _mark("batch_done")
     leftover = qa.join(batch.select("url_hash", "seq"), ["url_hash", "seq"], "left_anti").select(
         *[f.name for f in schema.SCHEDULED.fields]
     )
@@ -320,17 +324,49 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
 
     # ---------------- B3: extraction (validation → big pUDF, JVM-side gate)
+    # Explicit repartition before the pUDF: the batch is small in BYTES but
+    # heavy in per-row cost, so AQE/scan-split sizing under-parallelizes it;
+    # an explicitly-numbered repartition is exempt from AQE coalescing.
+    #
+    # Payload hygiene: html/content are the heavy payload — they are DROPPED
+    # from everything persisted. `ex` keeps a copy only for save_page rules
+    # (the crawled sink); `failed` keeps only the missing-vs-invalid flag.
+    # Caching the payload 2-3x was the measured round bottleneck (65s of
+    # cache/GC churn), not the pUDF itself.
+    par = spark.sparkContext.defaultParallelism * 2
+    save_page_keys = [r["key"] for r in ctx.rules
+                      if r.get("save_page") or r["format"] == "binary"]
+    slim_cols = [
+        "url_hash", "url", "rule_key", "host", "seq", "retry", "referer",
+        "drill_relation", "version", "rule_type", "is_binary",
+    ]
     ex = (
         fv.where("valid")
+        .repartition(par, F.col("url_hash"))
         .withColumn(
             "ex",
             extract_udf(ctx.by_key, ctx.by_domain, st["keep_link_relation"])(
                 F.col("url"), F.col("html"), F.col("rule_key"), F.col("drill_relation")
             ),
         )
+        .select(
+            *slim_cols,
+            (F.when(F.col("rule_key").isin(save_page_keys), F.col("html"))
+             if save_page_keys else F.lit(None).cast("binary")).alias("page_content"),
+            "ex",
+        )
         .persist()
     )
-    failed = fv.where(~F.col("valid")).persist()
+    failed = fv.where(~F.col("valid")).select(
+        *slim_cols, F.col("html").isNull().alias("missing")
+    ).persist()
+    _mark("pre_ex")
+    # Materialization barriers: one action per cached stage, in dependency
+    # order, so concurrent downstream branches/commit jobs never race to
+    # recompute cold shared lineage (observed 2-4x duplicated stages).
+    ex.count()
+    failed.count()  # recomputes the cheap fetch join once; caches slim rows
+    _mark("ex_done")
 
     # ---------------- B4: discovery (pipeline.save_links:66-222)
     links = (
@@ -356,7 +392,9 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             Window.partitionBy("url_hash").orderBy("parent_seq", "pos")))
         .where("rn = 1").drop("rn")
     )
-    probed = bloom.probe(cand, shards)
+    probed = bloom.probe(cand, shards).persist()
+    _mark("pre_probe")
+    probed.count()  # barrier #2: the pos/neg union below reads it twice
 
     # bloom-negative → definitely new, SKIPS the url_state join entirely (the
     # scale win: on a converged crawl most discovered links are duplicates,
@@ -397,6 +435,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .persist()
     )
+    _mark("probe_done")
+    pe.count()  # barrier #3: consumed by frontier commit + disc updates + new rows
 
     frontier_append = (
         pe.where(F.col("d_new") | F.col("d_requeue"))
@@ -410,6 +450,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
                 F.lit(round_ts).alias("discovered_ts"), "bucket")
     )
 
+    _mark("pe_done")
     # ---------------- C: url_state MERGE (touched buckets only)
     attempts = st["download_retry"] + 1
     upd_sched = new_sched.groupBy("url_hash").agg(
@@ -483,6 +524,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
 
     touched_buckets = [r["u_bucket"] for r in updates.select("u_bucket").distinct().collect()]
+    _mark("updates_done")
     merged = (
         url_state.where(
             F.col("bucket").isin(touched_buckets) if touched_buckets else F.lit(False)
@@ -519,6 +561,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     crawled = ex.where(F.col("rule_type") == "node").select(
         "url_hash", "url", "rule_key", "referer",
         F.lit(round_ts).alias("fetched_ts"), F.lit(round_no).alias("round"),
+        F.col("page_content").alias("content"),
         F.col("ex.extracted").alias("extracted"),
         F.col("ex.children").alias("extracted_children"),
         F.col("ex.drill_relation").alias("drill_relation"),
@@ -535,7 +578,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             failed.select(
                 F.lit(round_no).alias("round"), "seq", "url_hash", "url", "host",
                 F.lit("failed").alias("status"),
-                F.when(F.col("html").isNull(), "missing")
+                F.when(F.col("missing"), "missing")
                 .otherwise("invalid_content").alias("reason"),
                 F.lit(round_ts).alias("ts"),
             )
@@ -602,9 +645,11 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "fetch_log": lambda: cat.commit("fetch_log", flog.coalesce(4), mode="append", round_no=round_no),
         "metrics": lambda: cat.commit("metrics", metrics_df.coalesce(1), mode="append", round_no=round_no),
     }
+    _mark("pre_commit")
     with ThreadPoolExecutor(max_workers=len(commit_plan)) as pool:
         futures = {name: pool.submit(fn) for name, fn in commit_plan.items()}
         snaps = {name: fut.result() for name, fut in futures.items()}
+    _mark("commits_done")
 
     counts = obs.get  # filled by the fetch_log/metrics write actions above
     round_metrics = {
@@ -615,7 +660,6 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "denied": int(counts.get("denied") or 0),
         "scheduled_backlog": backlog,
         "balance": balance,
-        "ct_by_rule": ct_by_rule,
         "popped_intervals": {
             r["rule_key"]: [int(r["lo"]), int(r["hi"])] for r in popped_bounds
         },
@@ -627,9 +671,14 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         # in append-only mode this would accumulate popped_intervals instead
         "consumed": {},
     }
+    _mark("bloom_counts_done")
+    keys = list(_t.keys())
+    round_metrics["phase_s"] = {
+        keys[i]: round(_t[keys[i]] - _t[keys[i - 1]], 2) for i in range(1, len(keys))
+    }
     cat.commit_round(round_no, snaps, {"state": new_state, "round_metrics": round_metrics})
 
-    for df in (fr2, new_sched, batch, ex, failed, pe, denied, updates, all_new, flog):
+    for df in (fr2, new_sched, batch, ex, failed, pe, probed, denied, updates, all_new, flog):
         df.unpersist()
     return new_state
 

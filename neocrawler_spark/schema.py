@@ -93,6 +93,10 @@ CRAWLED = T.StructType(
         T.StructField("referer", T.StringType(), True),
         T.StructField("fetched_ts", T.LongType(), True),
         T.StructField("round", T.IntegerType(), True),
+        # basic:content — raw page bytes, populated when the rule sets
+        # save_page (pipeline.js:245-247); binary-format rules always persist
+        # here (the crawled_bin binary:file variant, pipeline.js:388-434)
+        T.StructField("content", T.BinaryType(), True),
         T.StructField("extracted", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField(
             "extracted_children",

@@ -1,0 +1,102 @@
+"""Operational surface: fail re-queue (queue-helper), monitor census,
+daily-counter rollup, single-URL debug golden, rules hot reload,
+save_page content persistence."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from neocrawler_spark import schema, synth
+from neocrawler_spark.operators import maintenance as mt
+from neocrawler_spark.plans.debug import test_url as debug_url
+from neocrawler_spark.plans.round import CrawlContext
+from neocrawler_spark.rules import load_rules
+from neocrawler_spark.sources.tables import Catalog
+from neocrawler_spark.streaming.driver import run_rounds
+
+PARAMS = synth.site_params(n_domains=2, cats=1, lists_per_cat=1,
+                           details_per_list=2, hot_details_per_list=2)
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, tmp_path_factory):
+    rules = load_rules(synth.gen_rules(PARAMS))
+    # break one detail page: point one link at a url missing from the corpus
+    pages = synth.gen_pages_df(spark, PARAMS).cache()
+    c = CrawlContext(
+        spark, Catalog(tmp_path_factory.mktemp("mt") / "wh"), rules,
+        pages, synth.gen_robots_df(spark, PARAMS),
+        settings={"buckets": 4, "bloom_keys_per_bucket": 200},
+    )
+    run_rounds(c, 3)
+    return c
+
+
+def test_monitor_summary(ctx):
+    s = mt.monitor_summary(ctx.spark, ctx.catalog)
+    assert s["url_info_size"] > 0
+    assert s["frontier_total"] == sum(s["frontier_per_rule"].values())
+
+
+def test_daily_counters_rollup(ctx):
+    df = mt.daily_counters(ctx.spark, ctx.catalog)
+    rows = df.collect()
+    per_domain = [r for r in rows if r["domain"] != "total"]
+    totals = {(r["date"], r["metric"]): r["value"] for r in rows if r["domain"] == "total"}
+    agg = {}
+    for r in per_domain:
+        agg[(r["date"], r["metric"])] = agg.get((r["date"], r["metric"]), 0) + r["value"]
+    assert agg == totals
+
+
+def test_requeue_failures_and_current_failures(ctx):
+    flog = ctx.catalog.read(ctx.spark, "fetch_log", schema.FETCH_LOG)
+    fails_now = mt.current_failures(flog).count()
+    n = mt.requeue_failures(ctx.spark, ctx.catalog, buckets=4)
+    assert n == fails_now  # none were already queued
+    if n:
+        fr = ctx.catalog.read(ctx.spark, "frontier", schema.FRONTIER)
+        us = ctx.catalog.read(ctx.spark, "url_state", schema.URL_STATE)
+        rq = fr.join(us, "url_hash").where(F.col("status") == "hit")
+        assert rq.count() >= n
+
+
+def test_save_page_content_persisted(ctx):
+    """Detail rules set save_page → crawled.content carries the raw bytes."""
+    crawled = ctx.catalog.read(ctx.spark, "crawled", schema.CRAWLED)
+    detail = crawled.where(F.col("rule_key").endswith(":detail"))
+    assert detail.where(F.col("content").isNull()).count() == 0
+    row = detail.first()
+    got = bytes(row["content"]).decode("utf-8")
+    want = ctx.pages.where(F.col("url") == row["url"]).first()
+    assert got == bytes(want["html"]).decode("utf-8")
+
+
+def test_debug_single_url(ctx, tmp_path):
+    url_row = ctx.pages.where(F.col("url").contains("weixin_")).select("url").first()
+    url = url_row["url"]
+    doc = debug_url(ctx, url, out_dir=tmp_path)
+    assert doc["valid"]
+    assert doc["extracted_data"]["body"] == ctx.pages.where(F.col("url") == url).first()["text"]
+    assert doc["lacks"] == []
+    dumped = json.loads((tmp_path / "debug-result.json").read_text())
+    assert dumped["extracted_data"] == doc["extracted_data"]
+    assert debug_url(ctx, "http://nope.example/x")["error"] == "no rule matches"
+
+
+def test_rules_hot_reload(tmp_path):
+    rules = synth.gen_rules(PARAMS)
+    p = tmp_path / "rules.json"
+    p.write_text(json.dumps(rules))
+    loaded, mtime = mt.load_rules_if_changed(p, 0.0)
+    assert loaded is not None and len(loaded) > 0
+    again, mtime2 = mt.load_rules_if_changed(p, mtime)
+    assert again is None and mtime2 == mtime  # version unchanged → no reload
+    rules[0]["weight"] = 99
+    p.write_text(json.dumps(rules))
+    import os
+    os.utime(p, (mtime + 10, mtime + 10))
+    re_loaded, mtime3 = mt.load_rules_if_changed(p, mtime)
+    assert re_loaded is not None and mtime3 != mtime
+    assert any(r["weight"] == 99 for r in re_loaded)
