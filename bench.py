@@ -31,12 +31,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # bench-scale site graph: ~11k pages, hot domain ≈ 53% (skew knob on)
 BENCH_PARAMS = dict(n_domains=4, cats=6, lists_per_cat=8,
                     details_per_list=30, hot_details_per_list=120)
-# scaling-scale graph: ~200k pages so compute dominates per-round overhead
-SCALING_PARAMS = dict(n_domains=4, cats=8, lists_per_cat=8,
-                      details_per_list=400, hot_details_per_list=1600)
-SCALING_SETTINGS = {"schedule_quantity_limitation": 250_000, "buckets": 64,
-                    "bloom_keys_per_bucket": 100_000}
-SCALING_ROUNDS = 5
+# scaling-scale graph: every list pre-seeded via macros → 3 rounds
+# (seeds+lists / detail wave / drain) with a multi-million-URL wave so
+# compute dominates the per-round scheduling-latency floor
+SCALING_PARAMS = dict(n_domains=4, cats=8, lists_per_cat=64,
+                      details_per_list=1400, hot_details_per_list=5600,
+                      seed_all_lists=True)
+SCALING_SETTINGS = {"schedule_quantity_limitation": 6_000_000, "buckets": 64,
+                    "bloom_keys_per_bucket": 200_000}
+SCALING_ROUNDS = 3
 BENCH_ROUNDS = 4
 BENCH_SETTINGS = {
     "schedule_quantity_limitation": 50_000,  # throughput mode: quota open

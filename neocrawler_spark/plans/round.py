@@ -593,13 +593,17 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
     from pyspark.sql import Observation
 
+    flog = flog.persist()  # consumed by the fetch_log commit AND the metrics agg
     obs = Observation()
-    flog = flog.observe(
+    # the observed plan must be executed by exactly ONE action — attach the
+    # observation only to the fetch_log-commit branch (concurrent actions on
+    # a shared observed plan trip Spark's single-firing assertion)
+    flog_observed = flog.observe(
         obs,
         F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("fetched"),
         F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
         F.sum(F.when(F.col("status") == "robots_denied", 1).otherwise(0)).alias("denied"),
-    ).persist()  # consumed by the fetch_log commit AND the metrics agg
+    )
     metrics_df = (
         flog.withColumn("domain", _domain_expr())
         .groupBy("domain", "status").count()
@@ -642,7 +646,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             replaced_partitions={"pbucket": bloom_touched},
         ),
         "crawled": lambda: cat.commit("crawled", crawled, mode="append", round_no=round_no),
-        "fetch_log": lambda: cat.commit("fetch_log", flog.coalesce(4), mode="append", round_no=round_no),
+        "fetch_log": lambda: cat.commit("fetch_log", flog_observed.coalesce(4), mode="append", round_no=round_no),
         "metrics": lambda: cat.commit("metrics", metrics_df.coalesce(1), mode="append", round_no=round_no),
     }
     _mark("pre_commit")

@@ -43,6 +43,7 @@ def site_params(
     lists_per_cat: int = 2,
     details_per_list: int = 3,
     hot_details_per_list: int | None = None,
+    seed_all_lists: bool = False,
 ) -> dict:
     hot = hot_details_per_list if hot_details_per_list is not None else details_per_list * 4
     return {
@@ -52,6 +53,10 @@ def site_params(
         "details_per_list": details_per_list,
         "hot_details_per_list": hot,
         "k_max": max(details_per_list, hot),
+        # seed every list page via pagination macros (one macro per
+        # domain×cat): collapses the crawl's discovery waves into one big
+        # detail wave — the steady-state shape used for scaling runs
+        "seed_all_lists": seed_all_lists,
     }
 
 
@@ -241,7 +246,12 @@ def gen_rules(params: dict) -> list[dict]:
     for d in range(params["n_domains"]):
         dom, host = domain_of(d), host_of(d)
         seeds = [f"http://{host}/"]
-        if d == 0:
+        if params.get("seed_all_lists"):
+            for c in range(params["cats"]):
+                seeds.append(
+                    f"http://{host}/t_{c}_#.html#0#{params['lists_per_cat'] - 1}#1"
+                )
+        elif d == 0:
             # macro: prefix#suffix#min#max#step over list pages of category 0
             seeds.append(
                 f"http://{host}/t_0_#.html#0#{params['lists_per_cat'] - 1}#1"
