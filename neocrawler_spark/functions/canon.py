@@ -77,9 +77,13 @@ def canonicalize(url: str, id_parameter: list[str] | None) -> str:
         return url
     params = parse_qsl(parts.query, keep_blank_values=True)
     new_pairs: list[tuple[str, str]] = []
+    seen: set[str] = set()
     for x, name in enumerate(id_parameter):
         if x == 0 and name == "#":
             break  # ['#'] first ⇒ strip all params
+        if name in seen:
+            continue  # JS object key: duplicate whitelist names collapse
+        seen.add(name)
         for k, v in params:
             if k == name:
                 new_pairs.append((k, v))
