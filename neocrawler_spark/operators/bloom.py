@@ -112,41 +112,41 @@ def update_shards(
 def probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
     """Append `maybe_seen boolean` to candidates(url_hash, bucket, ...).
 
-    Bucket-equi join against the shard table; rows in buckets with no shard
-    yet are definitely new. The shard side is small per bucket (one row), so
-    AQE turns this into a cheap shuffle or broadcast; probing is vectorized
-    numpy over the Arrow batch.
+    Cogrouped-by-bucket probe: candidates and shards are grouped on the SAME
+    bucket key, so each shard's bitarray crosses the JVM→Arrow→Python
+    boundary exactly ONCE per bucket-group — never joined onto candidate
+    rows (a bits-per-row join would ship |candidates| × shard_size bytes;
+    at 10^10-frontier shard sizes that dwarfs the candidates themselves).
+    Rows in buckets with no shard yet are definitely new. Bucket = the
+    url_state partition function, so this shuffle is the same co-location
+    the exact-confirm join uses.
     """
-    with_bits = candidates.join(
-        F.broadcast(shards.select("bucket", "m", "k", "bits")), "bucket", "left"
-    )
     cols = [c for c in candidates.columns]
     out_schema = T.StructType(
         candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            res = pdf[cols].copy()
-            maybe = np.zeros(len(pdf), dtype=bool)
-            sub = pdf[pdf.bits.notna()]
-            if len(sub):
-                # probe grouped by identical shard (one per bucket), vectorized
-                for _, g2 in sub.groupby("bucket", sort=False):
-                    m = int(g2.m.iloc[0])
-                    k = int(g2.k.iloc[0])
-                    bits = np.frombuffer(g2.bits.iloc[0], dtype=np.uint8)
-                    h1, h2 = _halves(g2.url_hash)
-                    hit = np.ones(len(g2), dtype=bool)
-                    for i in range(k):
-                        idx = _indices(h1, h2, i, m)
-                        hit &= (
-                            (bits[(idx >> np.uint64(3)).astype(np.int64)]
-                             >> (idx & np.uint64(7)).astype(np.uint8)) & 1
-                        ) == 1
-                    maybe[g2.index.to_numpy()] = hit  # RangeIndex: labels == positions
-            res["maybe_seen"] = maybe
-            yield res
+    def run(cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        res = cdf[cols].copy()
+        if len(sdf):
+            m = int(sdf.m.iloc[0])
+            k = int(sdf.k.iloc[0])
+            bits = np.frombuffer(sdf.bits.iloc[0], dtype=np.uint8)
+            h1, h2 = _halves(cdf.url_hash)
+            hit = np.ones(len(cdf), dtype=bool)
+            for i in range(k):
+                idx = _indices(h1, h2, i, m)
+                hit &= (
+                    (bits[(idx >> np.uint64(3)).astype(np.int64)]
+                     >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+                ) == 1
+            res["maybe_seen"] = hit
+        else:
+            res["maybe_seen"] = np.zeros(len(cdf), dtype=bool)
+        return res
 
-    return with_bits.mapInPandas(run, schema=out_schema)
+    return (
+        candidates.groupBy("bucket")
+        .cogroup(shards.select("bucket", "m", "k", "bits").groupBy("bucket"))
+        .applyInPandas(run, schema=out_schema)
+    )

@@ -222,15 +222,18 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .drop("is_seed_url", "dup_rn", "admit_pre")
     )
-    # fully distributed quota: per-rule admit counts + drawdown-window carry,
-    # all inside ONE plan so Catalyst reuses the frontier shuffle (no
-    # driver-side collect between the aggregate and the consumption window)
+    # Stage-materialize the admitted frontier: the quota aggregate below and
+    # the consumption window both read it — without the cut, Catalyst
+    # duplicates the whole frontier⋈state subtree (no common-subtree reuse
+    # across join branches).
+    fr = cat.stage(spark, round_no, "fr_admit", fr)
     avail_df = fr.groupBy("rule_key").agg(
         F.sum(F.col("admit").cast("long")).alias("available")
     )
     avg_rate = (balance / ctx.total_rates) if ctx.total_rates else 0.0
     ct_df = quota_cts(avail_df, rules_df, avg_rate)
-    fr2 = consume_quota(fr, ct_df, ctx.lifo).persist()
+    # fr2 feeds the scheduled queue AND the frontier rewrite (two actions).
+    fr2 = cat.stage(spark, round_no, "fr2", consume_quota(fr, ct_df, ctx.lifo))
     popped_bounds = (
         fr2.where("popped").groupBy("rule_key")
         .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
@@ -263,7 +266,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "url_hash", F.col("referer").alias("h_referer"),
         F.col("drill_relation").alias("h_relation"), F.col("version").alias("h_version"),
     )
-    new_sched = (
+    new_sched = cat.stage(
+        spark, round_no, "new_sched",
         sched_seeds.unionByName(sched_quota)
         .join(hydrate, "url_hash", "left")  # spider.js:221-241 hydration
         .select(
@@ -276,8 +280,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             F.when(F.col("is_seed"), F.lit(round_ts)).otherwise(F.col("h_version"))
             .alias("version"),
             "is_seed",
-        )
-        .persist()
+        ),
     )
     queue = scheduled.unionByName(new_sched.drop("is_seed"))
 
@@ -288,20 +291,22 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         F.coalesce("max_fetches_per_round", F.lit(st["default_host_budget"])),
     )
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
-    denied = q.where(~allowed_col).select("url_hash", "url", "rule_key", "host", "seq").persist()
+    denied = cat.stage(
+        spark, round_no, "denied",
+        q.where(~allowed_col).select("url_hash", "url", "rule_key", "host", "seq"),
+    )
     qa = q.where(allowed_col)
     surv = per_host_budget(qa, ["seq"], salts=st["politeness_salts"])
-    batch = (
+    batch = cat.stage(
+        spark, round_no, "batch",
         surv.where("in_budget")
         .withColumn(
             "fetch_offset_ms",
             ((F.col("host_rank") - 1)
              * F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000).cast("long"),
         )
-        .drop("disallow", "crawl_delay_s", "max_fetches_per_round", "in_budget")
-        .persist()
+        .drop("disallow", "crawl_delay_s", "max_fetches_per_round", "in_budget"),
     )
-    batch.count()  # barrier #0: materialize phase A (quota+politeness) once
     _mark("batch_done")
     leftover = qa.join(batch.select("url_hash", "seq"), ["url_hash", "seq"], "left_anti").select(
         *[f.name for f in schema.SCHEDULED.fields]
@@ -324,15 +329,17 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
 
     # ---------------- B3: extraction (validation → big pUDF, JVM-side gate)
+    # ONE pass over the fetch join covers both outcomes: the pUDF sees html
+    # only for valid rows (when(valid, html) → None otherwise, handled as
+    # empty result), so invalid/missing rows ride along for free and the
+    # 805MB-scan corpus join runs exactly once per round.
+    #
     # Explicit repartition before the pUDF: the batch is small in BYTES but
     # heavy in per-row cost, so AQE/scan-split sizing under-parallelizes it;
     # an explicitly-numbered repartition is exempt from AQE coalescing.
     #
-    # Payload hygiene: html/content are the heavy payload — they are DROPPED
-    # from everything persisted. `ex` keeps a copy only for save_page rules
-    # (the crawled sink); `failed` keeps only the missing-vs-invalid flag.
-    # Caching the payload 2-3x was the measured round bottleneck (65s of
-    # cache/GC churn), not the pUDF itself.
+    # Payload hygiene: html/content are the heavy payload — dropped from the
+    # staged output except `page_content` for save_page/binary rules.
     par = spark.sparkContext.defaultParallelism * 2
     save_page_keys = [r["key"] for r in ctx.rules
                       if r.get("save_page") or r["format"] == "binary"]
@@ -340,32 +347,26 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "url_hash", "url", "rule_key", "host", "seq", "retry", "referer",
         "drill_relation", "version", "rule_type", "is_binary",
     ]
-    ex = (
-        fv.where("valid")
-        .repartition(par, F.col("url_hash"))
+    exres = cat.stage(
+        spark, round_no, "exres",
+        fv.repartition(par, F.col("url_hash"))
         .withColumn(
             "ex",
             extract_udf(ctx.by_key, ctx.by_domain, st["keep_link_relation"])(
-                F.col("url"), F.col("html"), F.col("rule_key"), F.col("drill_relation")
+                F.col("url"), F.when(F.col("valid"), F.col("html")),
+                F.col("rule_key"), F.col("drill_relation")
             ),
         )
         .select(
-            *slim_cols,
-            (F.when(F.col("rule_key").isin(save_page_keys), F.col("html"))
+            *slim_cols, "valid",
+            F.col("html").isNull().alias("missing"),
+            (F.when(F.col("valid") & F.col("rule_key").isin(save_page_keys), F.col("html"))
              if save_page_keys else F.lit(None).cast("binary")).alias("page_content"),
             "ex",
-        )
-        .persist()
+        ),
     )
-    failed = fv.where(~F.col("valid")).select(
-        *slim_cols, F.col("html").isNull().alias("missing")
-    ).persist()
-    _mark("pre_ex")
-    # Materialization barriers: one action per cached stage, in dependency
-    # order, so concurrent downstream branches/commit jobs never race to
-    # recompute cold shared lineage (observed 2-4x duplicated stages).
-    ex.count()
-    failed.count()  # recomputes the cheap fetch join once; caches slim rows
+    ex = exres.where("valid")
+    failed = exres.where(~F.col("valid")).select(*slim_cols, "missing")
     _mark("ex_done")
 
     # ---------------- B4: discovery (pipeline.save_links:66-222)
@@ -392,9 +393,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             Window.partitionBy("url_hash").orderBy("parent_seq", "pos")))
         .where("rn = 1").drop("rn")
     )
-    probed = bloom.probe(cand, shards).persist()
-    _mark("pre_probe")
-    probed.count()  # barrier #2: the pos/neg union below reads it twice
+    probed = cat.stage(spark, round_no, "probed", bloom.probe(cand, shards))
+    _mark("probe_done")
 
     # bloom-negative → definitely new, SKIPS the url_state join entirely (the
     # scale win: on a converged crawl most discovered links are duplicates,
@@ -424,7 +424,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         .withColumn("e_version", F.col("m_version"))
         .drop("m_status", "m_last", "m_version")
     )
-    pe = (
+    pe = cat.stage(
+        spark, round_no, "pe",
         pos_e.unionByName(neg_e)
         .join(F.broadcast(rules_df.select("rule_key", "interval_s")), "rule_key", "left")
         .withColumn("d_new", F.col("e_status").isNull())
@@ -432,11 +433,9 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             "d_requeue",
             F.col("e_status").isNotNull()
             & _discovery_admit_eff(round_ts),
-        )
-        .persist()
+        ),
     )
-    _mark("probe_done")
-    pe.count()  # barrier #3: consumed by frontier commit + disc updates + new rows
+    _mark("pe_done")
 
     frontier_append = (
         pe.where(F.col("d_new") | F.col("d_requeue"))
@@ -450,7 +449,6 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
                 F.lit(round_ts).alias("discovered_ts"), "bucket")
     )
 
-    _mark("pe_done")
     # ---------------- C: url_state MERGE (touched buckets only)
     attempts = st["download_retry"] + 1
     upd_sched = new_sched.groupBy("url_hash").agg(
@@ -496,7 +494,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .withColumn("bucket", canon.bucket_of_hash(buckets))
     )
-    all_new = disc_new.unionByName(seed_new).dropDuplicates(["url_hash"]).persist()
+    all_new = cat.stage(
+        spark, round_no, "all_new",
+        disc_new.unionByName(seed_new).dropDuplicates(["url_hash"]),
+    )
 
     updates = (
         upd_sched.join(upd_crawl, "url_hash", "full")
@@ -520,8 +521,9 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             .otherwise(F.col("events")),
         )
         .withColumn("u_bucket", F.coalesce("n_bucket", canon.bucket_of_hash(buckets)))
-        .persist()  # consumed by touched-bucket collect AND the merge write
     )
+    # consumed by the touched-bucket collect AND the merge write
+    updates = cat.stage(spark, round_no, "updates", updates)
 
     touched_buckets = [r["u_bucket"] for r in updates.select("u_bucket").distinct().collect()]
     _mark("updates_done")
@@ -593,7 +595,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
     from pyspark.sql import Observation
 
-    flog = flog.persist()  # consumed by the fetch_log commit AND the metrics agg
+    # flog derives only from staged parquet (exres/denied) — the fetch_log
+    # commit and the metrics agg each re-read a few slim columns, no persist
     obs = Observation()
     # the observed plan must be executed by exactly ONE action — attach the
     # observation only to the fetch_log-commit branch (concurrent actions on
@@ -681,9 +684,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         keys[i]: round(_t[keys[i]] - _t[keys[i - 1]], 2) for i in range(1, len(keys))
     }
     cat.commit_round(round_no, snaps, {"state": new_state, "round_metrics": round_metrics})
-
-    for df in (fr2, new_sched, batch, ex, failed, pe, probed, denied, updates, all_new, flog):
-        df.unpersist()
+    cat.drop_stages(round_no - 1)  # previous round's intermediates are dead
     return new_state
 
 

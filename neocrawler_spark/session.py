@@ -46,7 +46,11 @@ def get_spark(
         # filters on the non-broadcast side (Spark 3.3+)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] = driver and executors share ONE JVM: size the heap for N
+        # concurrent tasks holding page payloads (the sandbox has 128 GiB; a
+        # small heap turns the round into a GC/eviction thrash that *inverts*
+        # core scaling). A real cluster sets executor memory instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

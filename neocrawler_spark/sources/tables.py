@@ -159,6 +159,31 @@ class Catalog:
             out.append({"path": str(p), "rows": meta.num_rows, "bytes": p.stat().st_size})
         return out
 
+    # ------------------------------------------------------------- stages
+    def stage(self, spark: SparkSession, round_no: int, name: str, df: DataFrame,
+              repartition: int | None = None) -> DataFrame:
+        """Materialize an intra-round intermediate to parquet and return a
+        reader over it. This cuts the round's DAG at stage boundaries: every
+        downstream job sees `Scan parquet` instead of the full upstream
+        lineage, so task binaries stay KB-sized, codegen compiles small
+        stages, and nothing is ever recomputed. (Spark does NOT dedupe common
+        subtrees across actions/branches — measured: a persist/count-barrier
+        version of this round spent ~20,000 task-CPU-seconds re-evaluating
+        and re-deserializing nested cached plans for ~300s of real work.)
+
+        Stages are transient (no manifest): resume replays the whole round
+        from the last committed snapshot, so stage files never need recovery.
+        """
+        path = self.root / "_stages" / f"r{round_no:08d}" / name
+        w = df.repartition(repartition) if repartition else df
+        w.write.mode("overwrite").parquet(str(path))
+        return spark.read.parquet(str(path))
+
+    def drop_stages(self, round_no: int) -> None:
+        import shutil
+
+        shutil.rmtree(self.root / "_stages" / f"r{round_no:08d}", ignore_errors=True)
+
     # ------------------------------------------------------------ round log
     def commit_round(self, round_no: int, snapshots: dict[str, int], metrics: dict) -> None:
         """Mark a round complete: records every table's snapshot id so resume
