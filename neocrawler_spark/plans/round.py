@@ -629,10 +629,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
     # sandbox: physical rewrite drops popped rows (consumed intervals reset);
     # prod: mode='append' of frontier_append only + consumed-interval metadata.
-    # Commits are independent table writes → run them as concurrent Spark
-    # jobs (scheduler pools share the executors); the round's fixed wall cost
-    # is max(write) not sum(write). Atomicity is unchanged: the round record
-    # below is still the only commit point readers trust for resume.
+    # Commits run SEQUENTIALLY by default: measured at local[32], 7 concurrent
+    # py4j write jobs stall each other 8-20x (driver/scheduler contention —
+    # round-2 commits 47-119s concurrent vs 10s sequential; each write alone
+    # is <3s). Each write is already wide, so concurrency buys nothing here;
+    # a real multi-executor cluster can flip concurrent_commits=True.
+    # Atomicity is unchanged: the round record below is still the only commit
+    # point readers trust for resume.
     from concurrent.futures import ThreadPoolExecutor
 
     commit_plan = {
@@ -653,9 +656,18 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "metrics": lambda: cat.commit("metrics", metrics_df.coalesce(1), mode="append", round_no=round_no),
     }
     _mark("pre_commit")
-    with ThreadPoolExecutor(max_workers=len(commit_plan)) as pool:
-        futures = {name: pool.submit(fn) for name, fn in commit_plan.items()}
-        snaps = {name: fut.result() for name, fut in futures.items()}
+
+    def _timed(fn):
+        t0 = _time.time()
+        s = fn()
+        return s, round(_time.time() - t0, 2)
+
+    n_workers = len(commit_plan) if st.get("concurrent_commits", False) else 1
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        futures = {name: pool.submit(_timed, fn) for name, fn in commit_plan.items()}
+        res = {name: fut.result() for name, fut in futures.items()}
+    snaps = {name: r[0] for name, r in res.items()}
+    commit_s = {name: r[1] for name, r in res.items()}
     _mark("commits_done")
 
     counts = obs.get  # filled by the fetch_log/metrics write actions above
@@ -670,6 +682,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "popped_intervals": {
             r["rule_key"]: [int(r["lo"]), int(r["hi"])] for r in popped_bounds
         },
+        "commit_s": commit_s,
     }
     new_state = {
         "round": round_no,

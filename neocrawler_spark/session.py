@@ -45,6 +45,12 @@ def get_spark(
         # frontier/url_state joins at 10^10 rows benefit from runtime bloom
         # filters on the non-broadcast side (Spark 3.3+)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # BypassMergeSortShuffleWriter's NIO transferTo mmaps/unmaps every
+        # partition segment; at 32 concurrent writers on a VM the munmap TLB
+        # shootdowns (IPIs hitting every vCPU) serialize the whole machine —
+        # measured 60-70s of "CPU" per trivial shuffle task, only at high
+        # core counts. Stream copy avoids mmap entirely.
+        .config("spark.file.transferTo", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # local[N] = driver and executors share ONE JVM: size the heap for N
         # concurrent tasks holding page payloads (the sandbox has 128 GiB; a

@@ -28,7 +28,12 @@ from pathlib import Path
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as _fn
 from pyspark.sql import types as T
+
+
+def _fcol(name: str):
+    return _fn.col(name)
 
 
 class Catalog:
@@ -106,13 +111,22 @@ class Catalog:
         data_dir = tdir / f"snap-{snap:012d}"
 
         t0 = time.time()
+        if partition_by:
+            # cluster rows so each partition value lands in ONE file: without
+            # this, a partitioned write fans out shuffle_partitions × values
+            # files (2048 at 32 cores × 64 buckets), and per-file costs —
+            # footer scan here, file listing on every read — grow WITH core
+            # count, inverting scaling
+            df = df.repartition(*[_fcol(c) for c in partition_by])
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
         write_ms = int((time.time() - t0) * 1000)
 
+        t1 = time.time()
         new_files = self._scan_files(data_dir)
+        scan_ms = int((time.time() - t1) * 1000)
         files: list[dict]
         if mode == "overwrite" or parent is None:
             files = new_files
@@ -138,6 +152,8 @@ class Catalog:
             "round": round_no,
             "mode": mode,
             "write_ms": write_ms,
+            "scan_ms": scan_ms,
+            "n_new_files": len(new_files),
             "files": files,
             "total_rows": sum(f["rows"] for f in files),
             "total_bytes": sum(f["bytes"] for f in files),
@@ -153,11 +169,18 @@ class Catalog:
 
     @staticmethod
     def _scan_files(data_dir: Path) -> list[dict]:
-        out = []
-        for p in sorted(data_dir.rglob("*.parquet")):
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = sorted(data_dir.rglob("*.parquet"))
+
+        def one(p: Path) -> dict:
             meta = pq.ParquetFile(p).metadata
-            out.append({"path": str(p), "rows": meta.num_rows, "bytes": p.stat().st_size})
-        return out
+            return {"path": str(p), "rows": meta.num_rows, "bytes": p.stat().st_size}
+
+        if len(paths) <= 4:
+            return [one(p) for p in paths]
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return list(pool.map(one, paths))
 
     # ------------------------------------------------------------- stages
     def stage(self, spark: SparkSession, round_no: int, name: str, df: DataFrame,

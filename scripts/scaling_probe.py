@@ -74,7 +74,8 @@ def main():
         "wall_s": round(wall, 2), "urls_per_sec": round(processed / wall, 1),
         "rounds": [
             {"round": m["round"], "fetched": m["fetched"],
-             "wall_s": round(m["wall_s"], 2), "phase_s": m.get("phase_s")}
+             "wall_s": round(m["wall_s"], 2), "phase_s": m.get("phase_s"),
+             "commit_s": m.get("commit_s")}
             for m in metrics
         ],
     }, indent=1))
