@@ -417,7 +417,7 @@ def q_json_smart_parse(spark, sf_dir):
 
 SQL_JSON_PARSE = """
 SELECT event_type,
-       sum((json_extract_string(props, '$.k'))::BIGINT) AS k_sum,
+       CAST(sum((json_extract_string(props, '$.k'))::BIGINT) AS BIGINT) AS k_sum,
        count(json_extract_string(props, '$.k')) AS k_cnt
 FROM events GROUP BY event_type
 """

@@ -182,7 +182,7 @@ v AS (
          sum(CASE WHEN (h // p2) % 2 = 1 THEN 1 ELSE -1 END) AS v
   FROM h, bits GROUP BY doc_id, j, p2
 )
-SELECT doc_id, sum(CASE WHEN v > 0 THEN p2 ELSE 0 END) AS simhash
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
 FROM v GROUP BY doc_id
 """
 
