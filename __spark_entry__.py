@@ -16,10 +16,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from neocrawler_spark.functions import text as text_ops
-from neocrawler_spark.operators import analytics, dedup, similarity
+from neocrawler_spark.operators import analytics, crawl_gate, dedup, similarity
 
 _ALL = {
     **analytics.QUERIES,
+    **crawl_gate.QUERIES,
     **dedup.QUERIES,
     **similarity.QUERIES,
     **text_ops.QUERIES,
