@@ -261,6 +261,32 @@ def process_document(
     }
 
 
+# ------------------------------------------------------------ charset sniff
+
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)"""
+    rb"""|<\?xml[^>]+encoding\s*=\s*["']([a-zA-Z0-9_\-]+)""",
+    re.I,
+)
+
+
+def sniff_charset(head: bytes, default: str = "utf-8") -> str:
+    """Charset sniff for pages whose rule declares no encoding — the content
+    analog of the reference's response sniff (downloader.js:213-233 reads
+    charset from the Content-Type header / meta tag before iconv-decoding,
+    :272-285). Our corpus-as-network has no headers, so only the meta/xml
+    declaration in the first 2KB is consulted; unknown/missing -> default."""
+    m = _CHARSET_RE.search(head[:2048])
+    if not m:
+        return default
+    enc = (m.group(1) or m.group(2)).decode("ascii", "ignore").lower()
+    try:
+        b"".decode(enc)
+    except (LookupError, ValueError):
+        return default
+    return enc
+
+
 # ------------------------------------------------------------ Spark UDF
 
 _RESULT_SCHEMA = (
@@ -297,7 +323,11 @@ def extract_udf(
                              "drill_relation": None, "lacks": []})
                 continue
             if isinstance(html, (bytes, bytearray)):
-                html = bytes(html).decode(rule.get("encoding") or "utf-8", errors="replace")
+                raw = bytes(html)
+                # rule encoding wins (spider.js applies the rule's `encoding`);
+                # no declared encoding -> sniff (downloader.js:213-233 analog)
+                enc = rule.get("encoding") or sniff_charset(raw)
+                html = raw.decode(enc, errors="replace")
             res = process_document(url, html, rule, orel, keep_link_relation)
             arranged = [
                 {"lib": lib, "link": link}

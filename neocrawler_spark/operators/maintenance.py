@@ -63,16 +63,30 @@ def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64) -
             F.col("ts").alias("discovered_ts"), "bucket",
         )
     )
+    # consumed by the touched-bucket scan AND both commits below
+    add = catalog.stage(spark, 0, "requeue_add", add)
     n = add.count()
     if n:
-        catalog.commit("frontier", frontier.unionByName(add))
-        # reset status so the scheduler window re-admits
-        st = url_state.join(add.select("url_hash", F.lit(True).alias("_rq")), "url_hash", "left")
-        st = st.withColumn(
-            "status", F.when(F.col("_rq"), F.lit("hit")).otherwise(F.col("status"))
-        ).drop("_rq")
-        catalog.commit("url_state", st.withColumn("pbucket", F.col("bucket")),
-                       partition_by=["pbucket"])
+        # frontier is append-only here: new manifest = parent files + add's
+        catalog.commit("frontier", add, mode="append")
+        # reset status so the scheduler window re-admits — touched buckets
+        # ONLY (r1 VERDICT #6: the old full-table rewrite inverted the
+        # round path's bucket-pruned merge at large state sizes)
+        touched = [r["bucket"] for r in add.select("bucket").distinct().collect()]
+        st = (
+            url_state.where(F.col("bucket").isin(touched))
+            .join(add.select("url_hash", F.lit(True).alias("_rq")), "url_hash", "left")
+            .withColumn(
+                "status", F.when(F.col("_rq"), F.lit("hit")).otherwise(F.col("status"))
+            )
+            .drop("_rq")
+        )
+        catalog.commit(
+            "url_state", st.withColumn("pbucket", F.col("bucket")),
+            mode="overwrite-partitions", partition_by=["pbucket"],
+            replaced_partitions={"pbucket": touched},
+        )
+    catalog.drop_stages(0)
     return n
 
 

@@ -130,11 +130,19 @@ def consume_quota(
             F.lit(0),
         ) if ct_by_rule else F.lit(0)
         admits = admits.withColumn("_ct", ct_expr)
-    return (
+    out = (
         admits.withColumn("popped", admits_before < F.col("_ct"))
         .withColumn("sched", F.col("popped") & F.col("admit"))
         .drop("_ct")
     )
+    # 1-based pop-order rank among THIS round's scheduled rows — shares the
+    # (rule_key, pop-order) sort with the window above (one Window node in
+    # the plan), so downstream seq assignment needs no second sort
+    sched_rank = F.sum(F.col("sched").cast("long")).over(
+        Window.partitionBy("rule_key").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return out.withColumn("sched_rank", sched_rank)
 
 
 UNGATED_BUDGET = 1 << 29  # budgets at/above this mean "no per-host cap"
@@ -175,15 +183,21 @@ def per_host_budget(
 
     gated = scheduled.where(gated_cond)
     local_w = Window.partitionBy(F.col("host"), F.crc32(F.col("url_hash")) % salts).orderBy(*order)
-    pruned = gated.withColumn("_lr", F.row_number().over(local_w)).where(
-        F.col("_lr") <= budget
-    )
+    with_lr = gated.withColumn("_lr", F.row_number().over(local_w))
+    pruned = with_lr.where(F.col("_lr") <= budget)
     exact_w = Window.partitionBy("host").orderBy(*order)
     ranked = pruned.withColumn("host_rank", F.row_number().over(exact_w)).drop("_lr")
     survivors = ranked.withColumn("in_budget", F.col("host_rank") <= budget)
-    # rows pruned by the salted pass are by construction over budget; the
-    # caller re-derives them as (scheduled − in_budget survivors)
-    return survivors.unionByName(ungated)
+    # rows cut by the salted pass are by construction over budget — kept in
+    # the output with in_budget=false (host_rank unset) so the caller reads
+    # pops/denials/leftovers from ONE frame with no anti-join
+    over = (
+        with_lr.where(F.col("_lr") > budget)
+        .drop("_lr")
+        .withColumn("host_rank", F.lit(None).cast("int"))
+        .withColumn("in_budget", F.lit(False))
+    )
+    return survivors.unionByName(over).unionByName(ungated)
 
 
 def robots_allowed(url_col: Column, host_col: Column, disallow_col: Column) -> Column:

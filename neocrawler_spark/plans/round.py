@@ -28,6 +28,7 @@ then 'crawled_failure' — inside the same round.
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -44,7 +45,13 @@ from ..operators.scheduler import (
     robots_allowed,
     scheduler_admit,
 )
-from ..rules import detect_link, quota_with_carry, rules_by_domain, rules_by_key
+from ..rules import (
+    detect_key_udf,
+    detect_link,
+    quota_with_carry,
+    rules_by_domain,
+    rules_by_key,
+)
 from ..sources.tables import Catalog
 
 # seq = round * 2^40 + rule_rank * 2^32 + pop_offset  (unique total order)
@@ -70,6 +77,14 @@ def EMPTY_ARR():  # must be lazy: Column construction needs an active session
     return F.array().cast("array<string>")
 
 
+class CircuitBreakerTripped(RuntimeError):
+    """Round-level failure breaker (reference analog: the spider halts the
+    process on cumulative extract/download failures, extractor.js:416-423 and
+    downloader.js:250). Here the halt lands at the round boundary AFTER the
+    round record commits — the completed round stays durable and resume
+    restarts cleanly once the operator clears the fault."""
+
+
 @dataclass
 class CrawlContext:
     spark: SparkSession
@@ -79,6 +94,20 @@ class CrawlContext:
     robots: DataFrame | None = None
     settings: dict = field(default_factory=dict)
     base_ts: int = 1767312000000  # 2026-01-02T00:00:00Z
+    # spider_extend hook surface (reference: spider/index.js:69-77 loads
+    # instance spider_extend.js and chains its {download, extract, pipeline}
+    # middlewares; README.md:566-646 documents user pipelines).
+    # * extract_hook(df) -> df: applied to the post-extraction frame (columns
+    #   incl. the `ex` struct) BEFORE discovery/sinks — the DataFrame analog
+    #   of an extract middleware rewriting extracted_info (e.g. the wiki
+    #   instance's link rewrite, instance/wiki/spider_extend.js:92).
+    # * pipeline_hook(crawled_df, catalog, round_no) -> df | None: replaces
+    #   or augments content persistence (spider/pipeline.js middleware); a
+    #   None return means the hook did its own sink — the default `crawled`
+    #   commit is skipped (an empty snapshot is committed to keep round
+    #   records consistent).
+    extract_hook: "object" = None
+    pipeline_hook: "object" = None
 
     def __post_init__(self):
         self.settings = {**DEFAULT_SETTINGS, **self.settings}
@@ -94,14 +123,14 @@ class CrawlContext:
             (
                 r["key"], float(r["rate"]), int(r["schedule_interval"]),
                 r.get("validation_keywords") or [], r["format"] == "binary",
-                r["type"], self.rank[r["key"]],
+                r["type"], self.rank[r["key"]], r.get("encoding"),
             )
             for r in self.rules
         ]
         return self.spark.createDataFrame(
             rows,
             "rule_key string, rate double, interval_s int, keywords array<string>, "
-            "is_binary boolean, rule_type string, rule_rank int",
+            "is_binary boolean, rule_type string, rule_rank int, encoding string",
         )
 
 
@@ -153,6 +182,23 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     frontier = cat.read(spark, "frontier", schema.FRONTIER).where(
         _frontier_filter(state.get("consumed", {}))
     )
+    # Stale-trace repair on pop (checkURL, scheduler/index.js:350-370): when
+    # the rule set changed between rounds, frontier entries whose rule_key no
+    # longer exists are re-matched against the live rules (pUDF over the
+    # stale slice only) instead of dropping. Still-unmatched entries fall
+    # through with a null key and are consumed unscheduled by the quota
+    # window, like the reference's lpop-then-drop. GATED on the rule-set
+    # signature recorded in round state: the common path (config unchanged
+    # since the frontier was written) pays nothing — no union, no pUDF.
+    known_keys = sorted(ctx.by_key.keys())
+    rules_sig = hashlib.md5("|".join(known_keys).encode()).hexdigest()
+    seen_sigs = set(state.get("rules_sigs") or [])
+    if seen_sigs - {rules_sig}:  # frontier may hold keys from other rule sets
+        stale = frontier.where(~F.col("rule_key").isin(known_keys))
+        frontier = frontier.where(F.col("rule_key").isin(known_keys)).unionByName(
+            stale.withColumn("rule_key", detect_key_udf(ctx.by_domain)(F.col("url")))
+            .where(F.col("rule_key").isNotNull())
+        )
     scheduled = cat.read(spark, "scheduled", schema.SCHEDULED)
     shards = cat.read(spark, "bloom", bloom.BLOOM_SCHEMA)
     rules_df = ctx.rules_df()
@@ -160,6 +206,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     man = cat.manifest("scheduled")
     backlog = man["total_rows"] if man else 0  # llen from manifest, no job
     balance = max(0, st["schedule_quantity_limitation"] - backlog)
+    man_us = cat.manifest("url_state")
+    _state_rows = man_us["total_rows"] if man_us else 0
 
     # ---------------- A1: seed reschedule (scheduler/index.js:163-198)
     first_sched = dict(state.get("first_schedule", {}))
@@ -241,15 +289,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
 
     # ---------------- A3: assemble the scheduled queue (rpush order pinned)
-    pop_order = F.when(
-        F.col("rule_key").isin(*ctx.lifo) if ctx.lifo else F.lit(False), -F.col("seq")
-    ).otherwise(F.col("seq"))
     sched_seeds = seeds_df.withColumn(
         "seq",
         F.lit(seq_base)
         + _rank_expr(ctx) * F.lit(RANK_STRIDE)
         + F.row_number().over(Window.partitionBy("rule_key").orderBy("ord", "url")),
     ).withColumn("is_seed", F.lit(True)).drop("ord")
+    # sched_rank was computed inside the fr2 stage's quota window (same sort)
     sched_quota = (
         fr2.where("sched")
         .withColumn(
@@ -257,7 +303,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             F.lit(seq_base)
             + F.col("rule_rank").cast("long") * F.lit(RANK_STRIDE)
             + F.lit(POP_OFFSET)
-            + F.row_number().over(Window.partitionBy("rule_key").orderBy(pop_order)),
+            + F.col("sched_rank"),
         )
         .select("url_hash", "url", "rule_key", "host",
                 F.col("seq_new").alias("seq"), F.lit(False).alias("is_seed"))
@@ -285,39 +331,53 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     queue = scheduled.unionByName(new_sched.drop("is_seed"))
 
     # ---------------- B1: politeness gate (north_rule; no reference analog)
+    # ONE staged frame carries the whole gate outcome (allowed + in_budget +
+    # fetch offset): batch / denied / leftover are filters over it — the old
+    # separate denied/batch stage writes + leftover anti-join were 2 extra
+    # jobs per round of pure floor (r1 scaling verdict).
     robots = ctx.robots if ctx.robots is not None else spark.createDataFrame([], schema.ROBOTS)
     q = queue.join(F.broadcast(robots), "host", "left").withColumn(
         "max_fetches_per_round",
         F.coalesce("max_fetches_per_round", F.lit(st["default_host_budget"])),
     )
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
-    denied = cat.stage(
-        spark, round_no, "denied",
-        q.where(~allowed_col).select("url_hash", "url", "rule_key", "host", "seq"),
-    )
-    qa = q.where(allowed_col)
-    surv = per_host_budget(qa, ["seq"], salts=st["politeness_salts"])
-    batch = cat.stage(
-        spark, round_no, "batch",
-        surv.where("in_budget")
+    qa = q.withColumn("allowed", allowed_col)
+    surv = per_host_budget(qa.where("allowed"), ["seq"], salts=st["politeness_salts"])
+    gated = cat.stage(
+        spark, round_no, "gated",
+        surv.unionByName(
+            qa.where(~F.col("allowed"))
+            .withColumn("host_rank", F.lit(None).cast("int"))
+            .withColumn("in_budget", F.lit(False))
+        )
         .withColumn(
             "fetch_offset_ms",
-            ((F.col("host_rank") - 1)
-             * F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000).cast("long"),
+            F.when(
+                F.col("in_budget"),
+                ((F.col("host_rank") - 1)
+                 * F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000).cast("long"),
+            ),
         )
-        .drop("disallow", "crawl_delay_s", "max_fetches_per_round", "in_budget"),
+        .drop("disallow", "crawl_delay_s", "max_fetches_per_round"),
     )
+    batch = gated.where("allowed and in_budget").drop("allowed", "in_budget")
+    denied = gated.where("not allowed").select("url_hash", "url", "rule_key", "host", "seq")
     _mark("batch_done")
-    leftover = qa.join(batch.select("url_hash", "seq"), ["url_hash", "seq"], "left_anti").select(
+    leftover = gated.where("allowed and not in_budget").select(
         *[f.name for f in schema.SCHEDULED.fields]
     )
 
     # ---------------- B2: fetch = batch ⋈ pages (the corpus-as-network join)
-    fetched = batch.join(ctx.pages.select("url", "html"), "url", "left").withColumn(
-        "content", F.decode(F.col("html"), "utf-8")
-    )
+    fetched = batch.join(ctx.pages.select("url", "html"), "url", "left")
     fv = (
         fetched.join(F.broadcast(rules_df), "rule_key", "left")
+        # validation reads content decoded per the RULE's encoding (the
+        # reference validates post-iconv text, extractor.js:392-414); pages
+        # whose rule declares none decode as utf-8 here — malformed bytes
+        # become U+FFFD (legacy codingErrorAction, set in session.py), and
+        # the extraction pUDF re-decodes from raw bytes via the charset
+        # sniff for the byte-exact path
+        .withColumn("content", F.expr("decode(html, coalesce(encoding, 'utf-8'))"))
         .withColumn(
             "valid",
             F.col("html").isNotNull()
@@ -366,6 +426,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         ),
     )
     ex = exres.where("valid")
+    if ctx.extract_hook is not None:
+        ex = ctx.extract_hook(ex)
     failed = exres.where(~F.col("valid")).select(*slim_cols, "missing")
     _mark("ex_done")
 
@@ -393,18 +455,21 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             Window.partitionBy("url_hash").orderBy("parent_seq", "pos")))
         .where("rn = 1").drop("rn")
     )
-    probed = cat.stage(spark, round_no, "probed", bloom.probe(cand, shards))
+    probed = bloom.probe(cand, shards)
     _mark("probe_done")
 
-    # bloom-negative → definitely new, SKIPS the url_state join entirely (the
-    # scale win: on a converged crawl most discovered links are duplicates,
-    # and the exact join's probe side shrinks to bloom-positives only)
-    pos = probed.where("maybe_seen")
-    neg = probed.where(~F.col("maybe_seen"))
-
+    # ONE branch for bloom-positives AND negatives (probe fused into the pe
+    # stage job — the old probed/pe split cost an extra materialization per
+    # round): the url_state left join is a no-op for bloom-negatives (no
+    # false negatives ⇒ negatives are never in url_state), so
+    # coalesce(m_*, s_*) degenerates to the overlay for them — identical to
+    # the old two-branch union. The scale economics are unchanged: the
+    # url_state side is pruned by the runtime bloom filter / bucket
+    # co-location either way; negatives only ride the small candidate side.
     mid_upd = _mid_round_overlay(new_sched, ex, failed, denied, round_ts)
-    pos_e = (
-        pos.join(
+    pe = cat.stage(
+        spark, round_no, "pe",
+        probed.join(
             url_state.select(
                 "url_hash", F.col("status").alias("s_status"),
                 F.col("last").alias("s_last"), F.col("version").alias("s_version"),
@@ -412,21 +477,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             "url_hash", "left",
         )
         .join(mid_upd, "url_hash", "left")
-        .withColumn("e_status", F.coalesce("m_status", "s_status"))
-        .withColumn("e_last", F.coalesce("m_last", "s_last"))
-        .withColumn("e_version", F.coalesce("m_version", "s_version"))
+        .withColumn("e_status",
+                    F.coalesce("m_status", F.when(F.col("maybe_seen"), F.col("s_status"))))
+        .withColumn("e_last",
+                    F.coalesce("m_last", F.when(F.col("maybe_seen"), F.col("s_last"))))
+        .withColumn("e_version",
+                    F.coalesce("m_version", F.when(F.col("maybe_seen"), F.col("s_version"))))
         .drop("m_status", "m_last", "m_version", "s_status", "s_last", "s_version")
-    )
-    neg_e = (
-        neg.join(mid_upd, "url_hash", "left")  # a just-created url is bloom-negative
-        .withColumn("e_status", F.col("m_status"))
-        .withColumn("e_last", F.col("m_last"))
-        .withColumn("e_version", F.col("m_version"))
-        .drop("m_status", "m_last", "m_version")
-    )
-    pe = cat.stage(
-        spark, round_no, "pe",
-        pos_e.unionByName(neg_e)
         .join(F.broadcast(rules_df.select("rule_key", "interval_s")), "rule_key", "left")
         .withColumn("d_new", F.col("e_status").isNull())
         .withColumn(
@@ -494,10 +551,11 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .withColumn("bucket", canon.bucket_of_hash(buckets))
     )
-    all_new = cat.stage(
-        spark, round_no, "all_new",
-        disc_new.unionByName(seed_new).dropDuplicates(["url_hash"]),
-    )
+    # all_new stays UNSTAGED (r1 had a dedicated stage job): it derives from
+    # already-staged pe/new_sched, and its only consumers are the updates
+    # stage below (joined in) and the bloom update (re-derived from the
+    # staged updates via is_new)
+    all_new = disc_new.unionByName(seed_new).dropDuplicates(["url_hash"])
 
     updates = (
         upd_sched.join(upd_crawl, "url_hash", "full")
@@ -521,11 +579,16 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             .otherwise(F.col("events")),
         )
         .withColumn("u_bucket", F.coalesce("n_bucket", canon.bucket_of_hash(buckets)))
+        .withColumn("is_new", F.col("n_status").isNotNull().cast("int"))
     )
-    # consumed by the touched-bucket collect AND the merge write
-    updates = cat.stage(spark, round_no, "updates", updates)
-
-    touched_buckets = [r["u_bucket"] for r in updates.select("u_bucket").distinct().collect()]
+    # consumed by the merge write AND the bloom update; partitioned by
+    # (u_bucket, is_new) so the touched-bucket and bloom-touched sets read
+    # off the stage's directory names — replaces two distinct().collect()
+    # jobs per round with a driver-side listdir
+    updates = cat.stage(spark, round_no, "updates", updates,
+                        partition_by=["u_bucket", "is_new"])
+    parts = cat.stage_partition_values(round_no, "updates")
+    touched_buckets = sorted({int(p["u_bucket"]) for p in parts})
     _mark("updates_done")
     merged = (
         url_state.where(
@@ -568,6 +631,25 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         F.col("ex.children").alias("extracted_children"),
         F.col("ex.drill_relation").alias("drill_relation"),
     ) if st["save_content"] else spark.createDataFrame([], schema.CRAWLED)
+    if ctx.pipeline_hook is not None:
+        crawled = ctx.pipeline_hook(crawled, cat, round_no)
+        if crawled is None:  # hook did its own sink; keep round records consistent
+            crawled = spark.createDataFrame([], schema.CRAWLED)
+    # $category routing (pipeline.js:275: extracted_data['$category'] redirects
+    # the HBase table). Category values are rule config, not data — derived
+    # from ctx.rules with no job; rows with a declared category land in
+    # crawled_{category}, everything else in the base table.
+    # node rules only: branch pages never reach the crawled sink, so their
+    # declared categories would only add always-empty commit jobs
+    categories = sorted({
+        c for r in ctx.rules if r["type"] == "node"
+        for c in [(r.get("extract_rule") or {}).get("category")] if c
+    })
+    cat_col = F.element_at(F.col("extracted"), "$category")
+    crawled_base = (
+        crawled.where(cat_col.isNull() | ~cat_col.isin(categories))
+        if categories else crawled
+    )
 
     flog = (
         ex.select(
@@ -616,12 +698,15 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
     )
 
-    new_hashes = all_new.select("url_hash", "bucket")
-    shards_new = bloom.update_shards(spark, shards, new_hashes, st["bloom_keys_per_bucket"])
     # bloom's replaced-partition set is ONLY buckets holding new hashes —
     # url_state may touch more buckets (status-only updates) whose shards
-    # must carry over untouched
-    bloom_touched = [r["bucket"] for r in new_hashes.select("bucket").distinct().collect()]
+    # must carry over untouched. new_hashes re-reads the staged updates
+    # (is_new partition pruning), bloom_touched comes from the dir listing.
+    new_hashes = updates.where("is_new = 1").select(
+        "url_hash", F.col("u_bucket").cast("int").alias("bucket")
+    )
+    shards_new = bloom.update_shards(spark, shards, new_hashes, st["bloom_keys_per_bucket"])
+    bloom_touched = sorted({int(p["u_bucket"]) for p in parts if int(p["is_new"]) == 1})
 
     frontier_cols = [f.name for f in schema.FRONTIER.fields]
     frontier_all = fr2.where(~F.col("popped")).select(*frontier_cols).unionByName(
@@ -645,13 +730,25 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             "url_state", merged.withColumn("pbucket", F.col("bucket")),
             mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
             replaced_partitions={"pbucket": touched_buckets},
+            # split hot buckets across files only once buckets are big enough
+            # for writer parallelism to matter — at small state the extra
+            # files just cost footer scans (measured +1-2s/commit)
+            split_col="url_hash",
+            files_per_partition=4 if _state_rows > 2_000_000 else 1,
         ),
         "bloom": lambda: cat.commit(
             "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
             mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
             replaced_partitions={"pbucket": bloom_touched},
         ),
-        "crawled": lambda: cat.commit("crawled", crawled, mode="append", round_no=round_no),
+        "crawled": lambda: cat.commit("crawled", crawled_base, mode="append", round_no=round_no),
+        **{
+            f"crawled_{c}": (lambda c=c: cat.commit(
+                f"crawled_{c}", crawled.where(cat_col == c), mode="append",
+                round_no=round_no,
+            ))
+            for c in categories
+        },
         "fetch_log": lambda: cat.commit("fetch_log", flog_observed.coalesce(4), mode="append", round_no=round_no),
         "metrics": lambda: cat.commit("metrics", metrics_df.coalesce(1), mode="append", round_no=round_no),
     }
@@ -690,6 +787,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         # consumed rows are physically dropped by the frontier rewrite above;
         # in append-only mode this would accumulate popped_intervals instead
         "consumed": {},
+        # the committed frontier now holds ONLY entries written under the
+        # current rule set (repair ran this round if it was needed), so the
+        # signature history collapses to the live one
+        "rules_sigs": [rules_sig],
     }
     _mark("bloom_counts_done")
     keys = list(_t.keys())
@@ -697,7 +798,19 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         keys[i]: round(_t[keys[i]] - _t[keys[i - 1]], 2) for i in range(1, len(keys))
     }
     cat.commit_round(round_no, snaps, {"state": new_state, "round_metrics": round_metrics})
-    cat.drop_stages(round_no - 1)  # previous round's intermediates are dead
+    # this round's stages are dead once the round record is committed (resume
+    # replays from committed snapshots, never from stages); sweep the
+    # previous round's too in case an earlier run crashed mid-round
+    cat.drop_stages(round_no)
+    if round_no > 1:
+        cat.drop_stages(round_no - 1)
+    breaker = st.get("failure_breaker")
+    if breaker is not None:
+        n_bad = round_metrics["failed"] + round_metrics["denied"]
+        if n_bad >= breaker:
+            raise CircuitBreakerTripped(
+                f"round {round_no}: {n_bad} failures >= breaker {breaker}"
+            )
     return new_state
 
 

@@ -18,6 +18,8 @@ import json
 import math
 import re
 from pathlib import Path
+
+import pandas as pd
 from typing import Any
 from urllib.parse import unquote
 
@@ -87,6 +89,26 @@ def detect_link(
         except re.error:
             continue
     return None
+
+
+def detect_key_udf(by_domain: dict[str, dict[str, dict]]):
+    """Arrow-batched re-detect: url -> matching rule key (or None). Used by
+    the pop-time stale-trace repair (scheduler/index.js:350-370 checkURL:
+    when the stored trace no longer names a live rule, the URL is re-matched
+    against the current rule set instead of being dropped). Rule config is
+    tiny — captured in the closure, shipped once per task."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _detect(urls: pd.Series) -> pd.Series:
+        def one(u):
+            r = detect_link(u, by_domain) if isinstance(u, str) else None
+            return r["key"] if r else None
+
+        return urls.map(one)
+
+    return _detect
 
 
 def arrange_links(

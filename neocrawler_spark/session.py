@@ -13,6 +13,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """local[N] shares one JVM between driver and executors, so size the heap
+    from the machine: ~40% of MemTotal, capped at 48g, floored at 4g (r1
+    ADVICE: a hard 48g default OOM-kills smaller hosts). Override with
+    SPARK_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = next(int(l.split()[1]) for l in f if l.startswith("MemTotal"))
+        gb = max(4, min(48, int(kb * 0.4 / 1024 / 1024)))
+    except (OSError, StopIteration, ValueError):
+        gb = 8
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "neocrawler_spark",
     master: str | None = None,
@@ -39,7 +53,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default parallelismFirst=true keeps ~core-count partitions even for
+        # KB-sized shuffles — at 32 cores every tiny scheduling stage burns 32
+        # task launches + fresh-codegen JIT for rows that fit one task.
+        # Size-first coalescing collapses those to 1 task; 16m advisory keeps
+        # data-bearing stages (frontier waves: ~100B/row) at ~30+ tasks.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # decode() replaces malformed byte sequences with U+FFFD instead of
+        # throwing (pre-ANSI semantics) — pages whose real charset differs
+        # from the rule's declared one must fail VALIDATION, not the job
+        .config("spark.sql.legacy.codingErrorAction", "true")
+        # rules may declare any JVM charset (gbk/big5/...), not just the
+        # ANSI-approved shortlist
+        .config("spark.sql.legacy.javaCharsets", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # frontier/url_state joins at 10^10 rows benefit from runtime bloom
@@ -56,7 +85,7 @@ def get_spark(
         # concurrent tasks holding page payloads (the sandbox has 128 GiB; a
         # small heap turns the round into a GC/eviction thrash that *inverts*
         # core scaling). A real cluster sets executor memory instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

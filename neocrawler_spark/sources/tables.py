@@ -93,6 +93,8 @@ class Catalog:
         partition_by: list[str] | None = None,
         metrics: dict | None = None,
         replaced_partitions: dict[str, list] | None = None,
+        split_col: str | None = None,
+        files_per_partition: int = 1,
     ) -> int:
         """Write df as a new snapshot.
 
@@ -112,12 +114,22 @@ class Catalog:
 
         t0 = time.time()
         if partition_by:
-            # cluster rows so each partition value lands in ONE file: without
-            # this, a partitioned write fans out shuffle_partitions × values
-            # files (2048 at 32 cores × 64 buckets), and per-file costs —
-            # footer scan here, file listing on every read — grow WITH core
-            # count, inverting scaling
-            df = df.repartition(*[_fcol(c) for c in partition_by])
+            # cluster rows so each partition value lands in a BOUNDED number
+            # of files: without this, a partitioned write fans out
+            # shuffle_partitions × values files (2048 at 32 cores × 64
+            # buckets), and per-file costs — footer scan here, file listing
+            # on every read — grow WITH core count, inverting scaling.
+            # files_per_partition > 1 + split_col salts hot partition values
+            # across up to that many writer tasks (r1 ADVICE: a single file
+            # per value caps write parallelism at the touched-bucket count
+            # and makes hot buckets single giant files).
+            cols = [_fcol(c) for c in partition_by]
+            if split_col and files_per_partition > 1:
+                cols.append(
+                    _fn.pmod(_fn.crc32(_fcol(split_col).cast("string")),
+                             _fn.lit(files_per_partition))
+                )
+            df = df.repartition(*cols)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -184,7 +196,8 @@ class Catalog:
 
     # ------------------------------------------------------------- stages
     def stage(self, spark: SparkSession, round_no: int, name: str, df: DataFrame,
-              repartition: int | None = None) -> DataFrame:
+              repartition: int | None = None,
+              partition_by: list[str] | None = None) -> DataFrame:
         """Materialize an intra-round intermediate to parquet and return a
         reader over it. This cuts the round's DAG at stage boundaries: every
         downstream job sees `Scan parquet` instead of the full upstream
@@ -198,9 +211,39 @@ class Catalog:
         from the last committed snapshot, so stage files never need recovery.
         """
         path = self.root / "_stages" / f"r{round_no:08d}" / name
-        w = df.repartition(repartition) if repartition else df
-        w.write.mode("overwrite").parquet(str(path))
-        return spark.read.parquet(str(path))
+        if partition_by:
+            # partitioned stage: the partition-value *set* becomes readable
+            # driver-side from the directory names (stage_partition_values) —
+            # replaces a distinct().collect() job with a listdir
+            w = df.repartition(*[_fcol(c) for c in partition_by])
+            w.write.mode("overwrite").partitionBy(*partition_by).parquet(str(path))
+        else:
+            w = df.repartition(repartition) if repartition else df
+            w.write.mode("overwrite").parquet(str(path))
+        # read back with the writer's schema: a partitioned write of an EMPTY
+        # frame (e.g. a converged round with no updates) leaves zero data
+        # files, and schema inference would fail on the bare directory
+        return spark.read.schema(df.schema).parquet(str(path))
+
+    def stage_partition_values(self, round_no: int, name: str) -> list[dict]:
+        """Distinct partition-column value combos of a partitioned stage,
+        parsed from its hive-style directory names — no Spark job."""
+        base = self.root / "_stages" / f"r{round_no:08d}" / name
+        out = []
+
+        def walk(d: Path, acc: dict):
+            subs = [p for p in d.iterdir() if p.is_dir() and "=" in p.name]
+            if not subs:
+                if acc:
+                    out.append(dict(acc))
+                return
+            for p in subs:
+                k, v = p.name.split("=", 1)
+                walk(p, {**acc, k: v})
+
+        if base.exists():
+            walk(base, {})
+        return out
 
     def drop_stages(self, round_no: int) -> None:
         import shutil

@@ -40,53 +40,51 @@ def main():
     task_agg = defaultdict(lambda: defaultdict(float))
     stage_job = {}
     job_desc = {}
-    if True:
-        for line in lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            t = ev.get("Event")
-            if t == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                props = ev.get("Properties") or {}
-                desc = (props.get("spark.job.description")
-                        or props.get("callSite.short") or "")
-                job_desc[jid] = desc[:60]
-                for sid in ev.get("Stage IDs", []):
-                    stage_job[sid] = jid
-            elif t == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                sub = si.get("Submission Time")
-                comp = si.get("Completion Time")
-                stages[sid] = {
-                    "name": si["Stage Name"].split("\n")[0][:90],
-                    "tasks": si["Number of Tasks"],
-                    "wall_s": round((comp - sub) / 1000, 2) if sub and comp else None,
-                }
-            elif t == "SparkListenerTaskEnd":
-                sid = ev["Stage ID"]
-                m = ev.get("Task Metrics") or {}
-                a = task_agg[sid]
-                a["run_s"] += m.get("Executor Run Time", 0) / 1000
-                a["gc_s"] += m.get("JVM GC Time", 0) / 1000
-                a["deser_s"] += m.get("Executor Deserialize Time", 0) / 1000
-                a["result_ser_s"] += m.get("Result Serialization Time", 0) / 1000
-                srm = m.get("Shuffle Read Metrics") or {}
-                a["shuf_read_mb"] += (srm.get("Local Bytes Read", 0) + srm.get("Remote Bytes Read", 0)) / 1e6
-                swm = m.get("Shuffle Write Metrics") or {}
-                a["shuf_write_mb"] += swm.get("Shuffle Bytes Written", 0) / 1e6
-                inm = m.get("Input Metrics") or {}
-                a["input_mb"] += inm.get("Bytes Read", 0) / 1e6
-                a["py_s"] = a.get("py_s", 0)
-                for acc in ev.get("Task Info", {}).get("Accumulables", []):
-                    nm = acc.get("Name") or ""
-                    if nm in ("time to run Python workers", "pythonUDF time"):
-                        try:
-                            a["py_s"] += float(acc.get("Update", 0)) / 1000
-                        except (TypeError, ValueError):
-                            pass
+    for line in lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        t = ev.get("Event")
+        if t == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            props = ev.get("Properties") or {}
+            desc = (props.get("spark.job.description")
+                    or props.get("callSite.short") or "")
+            job_desc[jid] = desc[:60]
+            for sid in ev.get("Stage IDs", []):
+                stage_job[sid] = jid
+        elif t == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            stages[sid] = {
+                "name": si["Stage Name"].split("\n")[0][:90],
+                "tasks": si["Number of Tasks"],
+                "wall_s": round((comp - sub) / 1000, 2) if sub and comp else None,
+            }
+        elif t == "SparkListenerTaskEnd":
+            sid = ev["Stage ID"]
+            m = ev.get("Task Metrics") or {}
+            a = task_agg[sid]
+            a["run_s"] += m.get("Executor Run Time", 0) / 1000
+            a["gc_s"] += m.get("JVM GC Time", 0) / 1000
+            a["deser_s"] += m.get("Executor Deserialize Time", 0) / 1000
+            a["result_ser_s"] += m.get("Result Serialization Time", 0) / 1000
+            srm = m.get("Shuffle Read Metrics") or {}
+            a["shuf_read_mb"] += (srm.get("Local Bytes Read", 0) + srm.get("Remote Bytes Read", 0)) / 1e6
+            swm = m.get("Shuffle Write Metrics") or {}
+            a["shuf_write_mb"] += swm.get("Shuffle Bytes Written", 0) / 1e6
+            inm = m.get("Input Metrics") or {}
+            a["input_mb"] += inm.get("Bytes Read", 0) / 1e6
+            for acc in ev.get("Task Info", {}).get("Accumulables", []):
+                nm = acc.get("Name") or ""
+                if nm in ("time to run Python workers", "pythonUDF time"):
+                    try:
+                        a["py_s"] += float(acc.get("Update", 0)) / 1000
+                    except (TypeError, ValueError):
+                        pass
 
     rows = []
     for sid, s in stages.items():

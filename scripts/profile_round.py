@@ -31,7 +31,13 @@ def main():
     from neocrawler_spark.streaming.driver import run_rounds
 
     rounds = rounds or SCALING_ROUNDS
-    spark = get_spark("profile", master=f"local[{cores}]", shuffle_partitions=cores)
+    extra = {}
+    if os.environ.get("PROF_EVLOG"):
+        os.makedirs(os.environ["PROF_EVLOG"], exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true",
+                 "spark.eventLog.dir": os.environ["PROF_EVLOG"]}
+    spark = get_spark("profile", master=f"local[{cores}]", shuffle_partitions=cores,
+                      extra_conf=extra)
     params = synth.site_params(**SCALING_PARAMS)
     wh = tempfile.mkdtemp(prefix="ncs_prof_")
     try:

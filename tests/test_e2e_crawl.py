@@ -58,7 +58,7 @@ def test_crawl_progresses(crawled_ctx):
     assert metrics[0]["fetched"] >= 2  # round 1: the two home seeds (+ macro seeds)
     total_fetched = sum(m["fetched"] for m in metrics)
     assert total_fetched > 10
-    crawled = table(ctx, "crawled", schema.CRAWLED)
+    crawled = table(ctx, "crawled_weixin", schema.CRAWLED)  # $category routing
     assert crawled.count() > 0
 
 
@@ -66,7 +66,7 @@ def test_extracted_text_byte_identical(crawled_ctx):
     """THE invariant (BASELINE.json input_hint): extracted body text ==
     generator golden `pages.text`, byte for byte, per url."""
     ctx, _ = crawled_ctx
-    crawled = table(ctx, "crawled", schema.CRAWLED)
+    crawled = table(ctx, "crawled_weixin", schema.CRAWLED)
     joined = (
         crawled.where(F.col("rule_key").endswith(":detail"))
         .select("url", F.col("extracted")["body"].alias("got"))
@@ -82,7 +82,7 @@ def test_extracted_text_byte_identical(crawled_ctx):
 
 def test_extracted_fields(crawled_ctx):
     ctx, _ = crawled_ctx
-    crawled = table(ctx, "crawled", schema.CRAWLED).where(
+    crawled = table(ctx, "crawled_weixin", schema.CRAWLED).where(
         F.col("rule_key").endswith(":detail")
     )
     row = crawled.orderBy("url").first()
@@ -153,7 +153,7 @@ def test_rerun_determinism(spark, tmp_path):
     for name, sch, cols in [
         ("url_state", schema.URL_STATE,
          ["url_hash", "url", "status", "records", "last", "version"]),
-        ("crawled", schema.CRAWLED, ["url_hash", "url", "extracted", "round"]),
+        ("crawled_weixin", schema.CRAWLED, ["url_hash", "url", "extracted", "round"]),
         ("frontier", schema.FRONTIER, ["url_hash", "rule_key", "seq"]),
     ]:
         assert fingerprint(ctx1, name, sch, cols) == fingerprint(ctx2, name, sch, cols), name
@@ -170,7 +170,7 @@ def test_resume_determinism(spark, tmp_path):
     assert load_state(b2.catalog)["round"] == 2
     run_rounds(b2, 2)
 
-    for name, sch in [("url_state", schema.URL_STATE), ("crawled", schema.CRAWLED)]:
+    for name, sch in [("url_state", schema.URL_STATE), ("crawled_weixin", schema.CRAWLED)]:
         fa = sorted(map(str, table(a, name, sch).collect()))
         fb = sorted(map(str, table(b2, name, sch).collect()))
         assert fa == fb, name

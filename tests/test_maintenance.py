@@ -64,7 +64,7 @@ def test_requeue_failures_and_current_failures(ctx):
 
 def test_save_page_content_persisted(ctx):
     """Detail rules set save_page → crawled.content carries the raw bytes."""
-    crawled = ctx.catalog.read(ctx.spark, "crawled", schema.CRAWLED)
+    crawled = ctx.catalog.read(ctx.spark, "crawled_weixin", schema.CRAWLED)
     detail = crawled.where(F.col("rule_key").endswith(":detail"))
     assert detail.where(F.col("content").isNull()).count() == 0
     row = detail.first()

@@ -125,7 +125,7 @@ def test_crawled_bytes(pair):
     ctx, oracle = pair
     cr = {
         r["url_hash"]: r
-        for r in ctx.catalog.read(ctx.spark, "crawled", schema.CRAWLED).collect()
+        for r in ctx.catalog.read(ctx.spark, "crawled_weixin", schema.CRAWLED).collect()
     }
     assert set(cr.keys()) == set(oracle.crawled.keys())
     for h, want in oracle.crawled.items():
