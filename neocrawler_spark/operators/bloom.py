@@ -120,30 +120,40 @@ def probe(candidates: DataFrame, shards: DataFrame) -> DataFrame:
     Rows in buckets with no shard yet are definitely new. Bucket = the
     url_state partition function, so this shuffle is the same co-location
     the exact-confirm join uses.
+
+    Memory: applyInPandas materializes each bucket's candidate group as one
+    pandas frame in the worker, so the bucket count must be sized such that
+    max per-bucket candidates fit worker memory (buckets is a config knob;
+    skewed discovery bursts argue for more buckets, which also helps the
+    state merge). The probe computation itself runs in bounded 64Ki-row
+    chunks so its numpy temporaries (k index arrays per chunk) stay a few
+    MB regardless of group size.
     """
     cols = [c for c in candidates.columns]
     out_schema = T.StructType(
         candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
+    chunk_rows = 1 << 16
 
     def run(cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
-        res = cdf[cols].copy()
+        n = len(cdf)
+        hit = np.zeros(n, dtype=bool)
         if len(sdf):
             m = int(sdf.m.iloc[0])
             k = int(sdf.k.iloc[0])
             bits = np.frombuffer(sdf.bits.iloc[0], dtype=np.uint8)
-            h1, h2 = _halves(cdf.url_hash)
-            hit = np.ones(len(cdf), dtype=bool)
-            for i in range(k):
-                idx = _indices(h1, h2, i, m)
-                hit &= (
-                    (bits[(idx >> np.uint64(3)).astype(np.int64)]
-                     >> (idx & np.uint64(7)).astype(np.uint8)) & 1
-                ) == 1
-            res["maybe_seen"] = hit
-        else:
-            res["maybe_seen"] = np.zeros(len(cdf), dtype=bool)
-        return res
+            uh = cdf.url_hash
+            for lo in range(0, n, chunk_rows):
+                h1, h2 = _halves(uh.iloc[lo:lo + chunk_rows])
+                ch = np.ones(len(h1), dtype=bool)
+                for i in range(k):
+                    idx = _indices(h1, h2, i, m)
+                    ch &= (
+                        (bits[(idx >> np.uint64(3)).astype(np.int64)]
+                         >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+                    ) == 1
+                hit[lo:lo + len(ch)] = ch
+        return cdf[cols].assign(maybe_seen=hit)
 
     return (
         candidates.groupBy("bucket")

@@ -35,15 +35,36 @@ def current_failures(fetch_log: DataFrame) -> DataFrame:
     )
 
 
-def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64) -> int:
-    """Append the live fail set back into the frontier (queue-helper re-queue).
-    Returns the number of re-queued URLs. Resets their url_state status to
-    'hit' so the scheduler window re-admits them (the reference clears the
-    zset and rpushes into urllib:*)."""
+def current_stuck(fetch_log: DataFrame) -> DataFrame:
+    """The stuck set = urls whose LATEST event is a non-terminal 'retry'
+    (stuck:urllib:* analog, pipeline.js:269-290: recorded on sink failure,
+    zrem'd by crawled_finish on success). With atomic round commits the only
+    way to strand a retry is a halt — circuit breaker or crash — between the
+    retry event and its terminal outcome; this surfaces those for re-queue
+    (queue-helper.js:99-162 handles stuck: alongside fail:)."""
+    w = Window.partitionBy("url_hash").orderBy(F.desc("round"), F.desc("seq"))
+    return (
+        fetch_log.where(F.col("status").isin("fetched", "failed", "retry"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .where(F.col("status") == "retry")
+        .drop("rn")
+    )
+
+
+def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
+                     include_stuck: bool = True) -> int:
+    """Append the live fail set (and, like the reference's queue helper, the
+    stuck set) back into the frontier (queue-helper re-queue). Returns the
+    number of re-queued URLs. Resets their url_state status to 'hit' so the
+    scheduler window re-admits them (the reference clears the zset and
+    rpushes into urllib:*)."""
     from ..functions import canon
 
     flog = catalog.read(spark, "fetch_log", schema.FETCH_LOG)
     fails = current_failures(flog)
+    if include_stuck:
+        fails = fails.unionByName(current_stuck(flog))
     frontier = catalog.read(spark, "frontier", schema.FRONTIER)
     url_state = catalog.read(spark, "url_state", schema.URL_STATE)
 

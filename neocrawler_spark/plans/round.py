@@ -86,6 +86,19 @@ class CircuitBreakerTripped(RuntimeError):
 
 
 @dataclass
+class SpiderExtend:
+    """Instance extension bundle — the spider_extend.js module object
+    (spider/index.js:69-77 loads {download, extract, pipeline} middlewares
+    from the instance dir). Pass via settings={"spider_extend": ...}; hooks
+    set directly on CrawlContext win over the bundle's."""
+
+    download_hook: "object" = None
+    extract_hook: "object" = None
+    pipeline_hook: "object" = None
+    alert_hook: "object" = None
+
+
+@dataclass
 class CrawlContext:
     spark: SparkSession
     catalog: Catalog
@@ -106,11 +119,28 @@ class CrawlContext:
     #   None return means the hook did its own sink — the default `crawled`
     #   commit is skipped (an empty snapshot is committed to keep round
     #   records consistent).
+    # * download_hook(batch_df, pages_df) -> fetched_df: replaces the default
+    #   corpus fetch join (spider/downloader.js download middleware — e.g. an
+    #   instance swapping HTTP for an API or cache). Must return the batch
+    #   columns plus `html binary` (null html = fetch miss, like the default
+    #   left join).
+    # * alert_hook(round_no, round_metrics) -> None: observer called after
+    #   every committed round with the driver-side metrics dict — the
+    #   lib/mail.js alert / monitoring-callback analog. Runs BEFORE the
+    #   circuit breaker so a tripped round still alerts.
     extract_hook: "object" = None
     pipeline_hook: "object" = None
+    download_hook: "object" = None
+    alert_hook: "object" = None
 
     def __post_init__(self):
         self.settings = {**DEFAULT_SETTINGS, **self.settings}
+        ext = self.settings.pop("spider_extend", None)
+        if ext is not None:  # assembly init (spider/index.js:69-77)
+            for h in ("download_hook", "extract_hook", "pipeline_hook",
+                      "alert_hook"):
+                if getattr(self, h) is None:
+                    setattr(self, h, getattr(ext, h, None))
         self.by_key = rules_by_key(self.rules)
         self.by_domain = rules_by_domain(self.rules)
         ranked = sorted(self.rules, key=lambda r: -r["rate"])
@@ -208,6 +238,18 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     balance = max(0, st["schedule_quantity_limitation"] - backlog)
     man_us = cat.manifest("url_state")
     _state_rows = man_us["total_rows"] if man_us else 0
+    man_fr = cat.manifest("frontier")
+    _frontier_rows = man_fr["total_rows"] if man_fr else 0
+
+    # Staging policy: every cut point is ALWAYS materialized. (Measured
+    # alternative: inlining the cheap JVM chain for small rounds removes the
+    # parquet size stats at the cut, the planner loses the "batch side is
+    # tiny" signal for the fetch join, and the 2GB corpus side gets shuffled
+    # — a round-1 wave went 43s → 121s. The stats at the cut are worth the
+    # stage-write job.)
+
+    def stg(name: str, df: DataFrame) -> DataFrame:
+        return cat.stage(spark, round_no, name, df)
 
     # ---------------- A1: seed reschedule (scheduler/index.js:163-198)
     first_sched = dict(state.get("first_schedule", {}))
@@ -270,18 +312,20 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         )
         .drop("is_seed_url", "dup_rn", "admit_pre")
     )
-    # Stage-materialize the admitted frontier: the quota aggregate below and
-    # the consumption window both read it — without the cut, Catalyst
-    # duplicates the whole frontier⋈state subtree (no common-subtree reuse
-    # across join branches).
-    fr = cat.stage(spark, round_no, "fr_admit", fr)
+    # The quota aggregate below and the consumption window both read `fr`;
+    # Catalyst has no common-subtree reuse, so the frontier⋈state subtree
+    # appears TWICE inside the fr2 job. That is deliberate: the aggregate
+    # branch is column-pruned to (rule_key, admit inputs) with a map-side
+    # combine, so its re-evaluation is cheaper than a dedicated fr_admit
+    # materialization job (+~5 AQE sub-jobs of driver latency per round —
+    # measured; the old staged variant is one `stg("fr_admit", fr)` away).
     avail_df = fr.groupBy("rule_key").agg(
         F.sum(F.col("admit").cast("long")).alias("available")
     )
     avg_rate = (balance / ctx.total_rates) if ctx.total_rates else 0.0
     ct_df = quota_cts(avail_df, rules_df, avg_rate)
     # fr2 feeds the scheduled queue AND the frontier rewrite (two actions).
-    fr2 = cat.stage(spark, round_no, "fr2", consume_quota(fr, ct_df, ctx.lifo))
+    fr2 = stg("fr2", consume_quota(fr, ct_df, ctx.lifo))
     popped_bounds = (
         fr2.where("popped").groupBy("rule_key")
         .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
@@ -312,8 +356,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "url_hash", F.col("referer").alias("h_referer"),
         F.col("drill_relation").alias("h_relation"), F.col("version").alias("h_version"),
     )
-    new_sched = cat.stage(
-        spark, round_no, "new_sched",
+    new_sched = stg(
+        "new_sched",
         sched_seeds.unionByName(sched_quota)
         .join(hydrate, "url_hash", "left")  # spider.js:221-241 hydration
         .select(
@@ -343,8 +387,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
     qa = q.withColumn("allowed", allowed_col)
     surv = per_host_budget(qa.where("allowed"), ["seq"], salts=st["politeness_salts"])
-    gated = cat.stage(
-        spark, round_no, "gated",
+    gated = stg(
+        "gated",
         surv.unionByName(
             qa.where(~F.col("allowed"))
             .withColumn("host_rank", F.lit(None).cast("int"))
@@ -368,7 +412,21 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
 
     # ---------------- B2: fetch = batch ⋈ pages (the corpus-as-network join)
-    fetched = batch.join(ctx.pages.select("url", "html"), "url", "left")
+    # The batch side broadcasts (INNER join) so the html payload NEVER enters
+    # a shuffle: the corpus is a pure streaming scan probed by a hash table
+    # of this round's quota-bounded batch. (Measured: the old left join
+    # planned as SMJ and spilled the multi-GB html column through shuffle
+    # disk — on a 123 MB/s sandbox disk that serialized the whole wave; on a
+    # real cluster it's shuffle traffic that dwarfs the batch.) Fetch MISSES
+    # are recovered after extraction by an anti-join against the staged
+    # result (see below) — build side bounded by the batch, never the corpus.
+    # At 10^10-frontier scale with multi-10^7-row batches, swap the broadcast
+    # for a bucket-co-located join on url (both sides bucketed) — the
+    # broadcast ceiling is a config concern, not a plan-shape change.
+    if ctx.download_hook is not None:
+        fetched = ctx.download_hook(batch, ctx.pages)
+    else:
+        fetched = ctx.pages.select("url", "html").join(F.broadcast(batch), "url", "inner")
     fv = (
         fetched.join(F.broadcast(rules_df), "rule_key", "left")
         # validation reads content decoded per the RULE's encoding (the
@@ -394,13 +452,19 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # empty result), so invalid/missing rows ride along for free and the
     # 805MB-scan corpus join runs exactly once per round.
     #
-    # Explicit repartition before the pUDF: the batch is small in BYTES but
-    # heavy in per-row cost, so AQE/scan-split sizing under-parallelizes it;
-    # an explicitly-numbered repartition is exempt from AQE coalescing.
-    #
-    # Payload hygiene: html/content are the heavy payload — dropped from the
-    # staged output except `page_content` for save_page/binary rules.
-    par = spark.sparkContext.defaultParallelism * 2
+    # Parallelism for the pUDF: small batches are light in BYTES but heavy in
+    # per-row cost, so AQE/scan-split sizing under-parallelizes them — an
+    # explicitly-numbered repartition (~300 pages/task, driver-sized from
+    # manifests) fixes that, and its shuffle is tiny. LARGE waves must NOT
+    # repartition: that would push the multi-GB html column through a
+    # shuffle; they instead ride the corpus scan's file splits, which are
+    # plentiful exactly when the wave is large (spark.sql.files.
+    # maxPartitionBytes=64m in session.py keeps scan splits ≈ 2×cores for
+    # multi-GB corpora).
+    approx_batch = min(balance, _frontier_rows) + len(seed_rows)
+    par = max(1, min(spark.sparkContext.defaultParallelism * 2,
+                     approx_batch // 300 + 1))
+    fv_par = fv.repartition(par, F.col("url_hash")) if approx_batch < 50_000 else fv
     save_page_keys = [r["key"] for r in ctx.rules
                       if r.get("save_page") or r["format"] == "binary"]
     slim_cols = [
@@ -409,7 +473,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     ]
     exres = cat.stage(
         spark, round_no, "exres",
-        fv.repartition(par, F.col("url_hash"))
+        fv_par
         .withColumn(
             "ex",
             extract_udf(ctx.by_key, ctx.by_domain, st["keep_link_relation"])(
@@ -425,6 +489,23 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             "ex",
         ),
     )
+    # Fetch misses (batch rows with no corpus page) are absent from the
+    # inner fetch join — recover them against the STAGED result so the
+    # anti-join's build side is bounded by the batch, never the corpus.
+    # (download_hook may return left-join semantics with null-html rows;
+    # those already sit in exres as missing and the anti-join adds nothing.)
+    missing_rows = (
+        batch.join(F.broadcast(exres.select("url_hash")), "url_hash", "left_anti")
+        .join(F.broadcast(rules_df.select("rule_key", "rule_type", "is_binary")),
+              "rule_key", "left")
+        .select(
+            *slim_cols,
+            F.lit(False).alias("valid"), F.lit(True).alias("missing"),
+            F.lit(None).cast("binary").alias("page_content"),
+            F.lit(None).cast(exres.schema["ex"].dataType).alias("ex"),
+        )
+    )
+    exres = exres.unionByName(missing_rows)
     ex = exres.where("valid")
     if ctx.extract_hook is not None:
         ex = ctx.extract_hook(ex)
@@ -804,6 +885,8 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     cat.drop_stages(round_no)
     if round_no > 1:
         cat.drop_stages(round_no - 1)
+    if ctx.alert_hook is not None:
+        ctx.alert_hook(round_no, round_metrics)
     breaker = st.get("failure_breaker")
     if breaker is not None:
         n_bad = round_metrics["failed"] + round_metrics["denied"]

@@ -53,15 +53,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # default parallelismFirst=true keeps ~core-count partitions even for
-        # KB-sized shuffles — at 32 cores every tiny scheduling stage burns 32
-        # task launches + fresh-codegen JIT for rows that fit one task.
-        # Size-first coalescing collapses those to 1 task; 16m advisory keeps
-        # data-bearing stages (frontier waves: ~100B/row) at ~30+ tasks.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4m")
+        # Default (parallelism-first) AQE coalescing: measured on the scaling
+        # corpus, size-first coalescing (advisory 16m) collapses the ~25MB
+        # frontier-wave shuffles to 1-2 reduce tasks REGARDLESS of core count
+        # — the data rounds stop scaling with cores (eff 0.29 → 0.34 just by
+        # reverting). Tiny stages still coalesce to 1 task via minPartitionSize.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 64m scan splits: a multi-GB corpus yields ≈2×cores splits, which is
+        # the pUDF's parallelism on large fetch waves (round.py avoids a
+        # repartition there to keep html out of the shuffle)
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         # decode() replaces malformed byte sequences with U+FFFD instead of
         # throwing (pre-ANSI semantics) — pages whose real charset differs
         # from the rule's declared one must fail VALIDATION, not the job

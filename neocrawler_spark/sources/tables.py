@@ -113,6 +113,7 @@ class Catalog:
         data_dir = tdir / f"snap-{snap:012d}"
 
         t0 = time.time()
+        df.sparkSession.sparkContext.setJobDescription(f"commit:{name}")
         if partition_by:
             # cluster rows so each partition value lands in a BOUNDED number
             # of files: without this, a partitioned write fans out
@@ -134,6 +135,7 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(str(data_dir))
+        df.sparkSession.sparkContext.setJobDescription(None)
         write_ms = int((time.time() - t0) * 1000)
 
         t1 = time.time()
@@ -211,6 +213,7 @@ class Catalog:
         from the last committed snapshot, so stage files never need recovery.
         """
         path = self.root / "_stages" / f"r{round_no:08d}" / name
+        spark.sparkContext.setJobDescription(f"stage:{name}")
         if partition_by:
             # partitioned stage: the partition-value *set* becomes readable
             # driver-side from the directory names (stage_partition_values) —
@@ -220,6 +223,7 @@ class Catalog:
         else:
             w = df.repartition(repartition) if repartition else df
             w.write.mode("overwrite").parquet(str(path))
+        spark.sparkContext.setJobDescription(None)
         # read back with the writer's schema: a partitioned write of an EMPTY
         # frame (e.g. a converged round with no updates) leaves zero data
         # files, and schema inference would fail on the bare directory

@@ -44,6 +44,7 @@ def site_params(
     details_per_list: int = 3,
     hot_details_per_list: int | None = None,
     seed_all_lists: bool = False,
+    save_pages: bool = True,
 ) -> dict:
     hot = hot_details_per_list if hot_details_per_list is not None else details_per_list * 4
     return {
@@ -53,6 +54,7 @@ def site_params(
         "details_per_list": details_per_list,
         "hot_details_per_list": hot,
         "k_max": max(details_per_list, hot),
+        "save_pages": save_pages,
         # seed every list page via pagination macros (one macro per
         # domain×cat): collapses the crawl's discovery waves into one big
         # detail wave — the steady-state shape used for scaling runs
@@ -193,34 +195,69 @@ def gen_pages_df(spark: SparkSession, params: dict) -> DataFrame:
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for tier, d, c, pp, k in zip(pdf.tier, pdf.d, pdf.c, pdf.p, pdf.k):
-                d, c, pp, k = int(d), int(c), int(pp), int(k)
-                host = host_of(d)
-                if tier == "home":
-                    url = f"http://{host}/"
-                    html, text = render_home(d, p)
-                elif tier == "category":
-                    url = f"http://{host}/fenlei_{c}.html"
-                    html, text = render_category(d, c, p)
-                elif tier == "list":
-                    url = f"http://{host}/t_{c}_{pp}.html"
-                    html, text = render_list(d, c, pp, p)
-                else:
-                    i = _detail_id(d, c, pp, k, p)
-                    url = f"http://{host}/weixin_{i}.html?id={i}"
-                    html, text = render_detail(d, i)
-                ts_ms = BASE_TS_MS + (hash_free_offset(url) % 86_400_000)
-                rows.append(
-                    {
+            det = pdf[pdf.tier == "detail"]
+            rest = pdf[pdf.tier != "detail"]
+            frames = []
+            if len(det):
+                d = det.d.astype(int)
+                ids = pd.Series(
+                    ((d * p["cats"] + det.c.astype(int)) * p["lists_per_cat"]
+                     + det.p.astype(int)) * p["k_max"] + det.k.astype(int),
+                    index=det.index)
+                ds, istr = d.astype(str), ids.astype(str)
+                host = "www1.site" + ds + ".test"
+                url = "http://" + host + "/weixin_" + istr + ".html?id=" + istr
+                body = "Profile of account " + istr + " on site " + ds + ". 公众号 wx_" + istr + " 的主页。"
+                related = ""
+                for x in range(3):
+                    related = (related
+                               + '<div class="item"><span class="name">rel_' + istr
+                               + "_" + str(x) + '</span><span class="score">'
+                               + ((ids + x) % 97).astype(str) + "</span></div>")
+                title = "Account wx_" + istr + " - Site " + ds
+                html = ("<html><head><title>" + title + "</title></head><body>"
+                        + '<div class="crumb"><a href="/">Home</a></div>'
+                        + '<div class="_title"><strong>account_' + istr + "</strong></div>"
+                        + '<div id="bodyContent">' + body + "</div>"
+                        + "<table><tr><td>微信号：wx_" + istr + "</td></tr>"
+                        + "<tr><td>功能介绍：intro_" + istr + "</td></tr></table>"
+                        + '<div class="avatar"><img src="/img/' + istr + '.jpg"/></div>'
+                        + '<div class="related">' + related + "</div>"
+                        + PAD + PAD + PAD + "</body></html>")
+                frames.append(pd.DataFrame({
+                    "url": url,
+                    "warc_ts": pd.to_datetime(
+                        BASE_TS_MS + url.map(hash_free_offset) % 86_400_000, unit="ms"),
+                    "html": html.map(lambda h: h.encode("utf-8")),
+                    "text": body,
+                    "lang": "zh",
+                }))
+            if len(rest):
+                rows = []
+                for tier, d, c, pp, k in zip(rest.tier, rest.d, rest.c, rest.p, rest.k):
+                    d, c, pp, k = int(d), int(c), int(pp), int(k)
+                    host = host_of(d)
+                    if tier == "home":
+                        url = f"http://{host}/"
+                        html, text = render_home(d, p)
+                    elif tier == "category":
+                        url = f"http://{host}/fenlei_{c}.html"
+                        html, text = render_category(d, c, p)
+                    else:
+                        url = f"http://{host}/t_{c}_{pp}.html"
+                        html, text = render_list(d, c, pp, p)
+                    ts_ms = BASE_TS_MS + (hash_free_offset(url) % 86_400_000)
+                    rows.append({
                         "url": url,
                         "warc_ts": pd.Timestamp(ts_ms, unit="ms"),
                         "html": html.encode("utf-8"),
                         "text": text,
-                        "lang": "zh" if tier == "detail" else "en",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                        "lang": "en",
+                    })
+                frames.append(pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"]))
+            out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+                columns=["url", "warc_ts", "html", "text", "lang"])
+            yield out
 
     return skeleton.mapInPandas(render, schema=schema.PAGES)
 
@@ -294,7 +331,11 @@ def gen_rules(params: dict) -> list[dict]:
             {
                 "domain": dom, "alias": "detail",
                 "url_pattern": r"weixin_[0-9]+\.html",
-                "type": "node", "format": "html", "save_page": True,
+                "type": "node", "format": "html",
+                # save_page stores raw bytes in the content sink; the scaling
+                # bench turns it off (params["save_pages"]=False) so the
+                # measured wave is schedule+extract, not an 8GB byte copy
+                "save_page": params.get("save_pages", True),
                 "priority": 3, "weight": 100, "schedule_interval": 86400,
                 "active": True, "seed": [], "schedule_rule": "FIFO",
                 "id_parameter": ["id"],

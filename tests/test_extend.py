@@ -191,3 +191,63 @@ def test_stale_trace_redetect_on_pop(spark, tmp_path):
     assert fetched_details.count() > 0
     crawled = cat.read(spark, "crawled_weixin", schema.CRAWLED)
     assert crawled.where(F.col("rule_key").endswith(":detail_v2")).count() > 0
+
+
+# ------------------------------------------------------------ download hook
+
+
+def test_download_hook_and_bundle(spark, tmp_path):
+    """The download middleware replaces the corpus fetch join
+    (spider/downloader.js): here it serves every batch row from a rewritten
+    corpus (uppercased golden marker) via the SpiderExtend bundle, proving
+    both the hook point and the assembly-init wiring."""
+    from neocrawler_spark.plans.round import SpiderExtend
+
+    marker = "HOOKFETCH"
+
+    def dl(batch, pages):
+        rewritten = pages.select(
+            "url",
+            F.when(
+                F.col("url").contains("weixin_"),
+                # splice a marker into the body div so extraction sees it
+                F.to_binary(
+                    F.regexp_replace(
+                        F.decode("html", "utf-8"), "bodyContent\">", f"bodyContent\">{marker} "
+                    ),
+                    F.lit("utf8"),
+                ),
+            ).otherwise(F.col("html")).alias("html"),
+        )
+        return batch.join(rewritten, "url", "left")
+
+    ctx = make_ctx(spark, tmp_path, "dl",
+                   settings={"spider_extend": SpiderExtend(download_hook=dl)})
+    assert ctx.download_hook is dl  # bundle wired by assembly init
+    run_rounds(ctx, 3)
+    crawled = ctx.catalog.read(spark, "crawled_weixin", schema.CRAWLED)
+    assert crawled.count() > 0
+    assert crawled.where(~F.col("extracted")["body"].startswith(marker)).count() == 0
+
+
+# --------------------------------------------------------------- alert hook
+
+
+def test_alert_hook_sees_every_round(spark, tmp_path):
+    """alert_hook (lib/mail.js monitoring-callback analog) fires once per
+    committed round with the driver-side metrics, including a breaker-tripped
+    round."""
+    from neocrawler_spark.plans.round import SpiderExtend
+
+    calls = []
+    pages = synth.gen_pages_df(spark, PARAMS).where(~F.col("url").contains("weixin_"))
+    ctx = make_ctx(
+        spark, tmp_path, "a", pages=pages,
+        settings={"failure_breaker": 1,
+                  "spider_extend": SpiderExtend(alert_hook=lambda rn, m: calls.append((rn, m)))},
+    )
+    with pytest.raises(CircuitBreakerTripped):
+        run_rounds(ctx, 4)
+    assert len(calls) >= 1
+    assert calls[-1][1]["failed"] + calls[-1][1]["denied"] >= 1  # tripped round alerted
+    assert [rn for rn, _ in calls] == sorted({rn for rn, _ in calls})  # once per round, in order

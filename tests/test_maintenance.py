@@ -52,7 +52,7 @@ def test_daily_counters_rollup(ctx):
 
 def test_requeue_failures_and_current_failures(ctx):
     flog = ctx.catalog.read(ctx.spark, "fetch_log", schema.FETCH_LOG)
-    fails_now = mt.current_failures(flog).count()
+    fails_now = mt.current_failures(flog).count() + mt.current_stuck(flog).count()
     n = mt.requeue_failures(ctx.spark, ctx.catalog, buckets=4)
     assert n == fails_now  # none were already queued
     if n:
@@ -100,3 +100,24 @@ def test_rules_hot_reload(tmp_path):
     re_loaded, mtime3 = mt.load_rules_if_changed(p, mtime)
     assert re_loaded is not None and mtime3 != mtime
     assert any(r["weight"] == 99 for r in re_loaded)
+
+
+def test_current_stuck_latest_retry_only(spark):
+    """stuck = latest event is a non-terminal retry; a later fetched/failed
+    outcome clears it (zrem analog)."""
+    rows = [
+        # u1: retry then fetched -> not stuck
+        (1, 10, "u1", "http://a/1", "a", "retry", None, 0),
+        (2, 20, "u1", "http://a/1", "a", "fetched", None, 0),
+        # u2: retry then failed -> not stuck (it's a failure instead)
+        (1, 11, "u2", "http://a/2", "a", "retry", None, 0),
+        (2, 21, "u2", "http://a/2", "a", "failed", "missing", 0),
+        # u3: fetched then retry (recrawl gone bad, halt) -> stuck
+        (1, 12, "u3", "http://a/3", "a", "fetched", None, 0),
+        (3, 30, "u3", "http://a/3", "a", "retry", None, 0),
+    ]
+    flog = spark.createDataFrame(rows, schema.FETCH_LOG)
+    stuck = [r["url_hash"] for r in mt.current_stuck(flog).collect()]
+    assert stuck == ["u3"]
+    fails = [r["url_hash"] for r in mt.current_failures(flog).collect()]
+    assert fails == ["u2"]
