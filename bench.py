@@ -56,7 +56,9 @@ BENCH_SETTINGS = {
     "buckets": 64,
     "bloom_keys_per_bucket": 50_000,
     "default_host_budget": 1 << 30,
-    "concurrent_commits": True,
+    # commits stay SEQUENTIAL at local[32]: concurrent py4j write jobs stall
+    # each other 8-20x there (measured, plans/round.py commit notes) — the r2
+    # bench regression (124 -> 83 urls/s) was exactly this flag
 }
 
 HEADLINE_QUERIES = [

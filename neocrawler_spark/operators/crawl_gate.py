@@ -140,7 +140,7 @@ def q_regex_extract_single(spark, sf_dir):
 
 
 SQL_REGEX_SINGLE = f"""
-SELECT doc_id, regexp_extract(text, '{_REGEX_PAT}', 1) AS first_match FROM documents
+SELECT doc_id, regexp_extract(text, '{_REGEX_PAT}', 1, 'i') AS first_match FROM documents
 """
 
 
@@ -151,7 +151,7 @@ def q_regex_extract_all(spark, sf_dir):
 
 SQL_REGEX_ALL = f"""
 SELECT doc_id,
-       coalesce(array_to_string(regexp_extract_all(text, '{_REGEX_PAT}', 1), ','), '') AS all_matches
+       coalesce(array_to_string(regexp_extract_all(text, '{_REGEX_PAT}', 1, 'i'), ','), '') AS all_matches
 FROM documents
 """
 
@@ -232,6 +232,10 @@ GROUP BY status
 # Payload synthesized deterministically: a magic prefix chosen by doc_id + the
 # utf-8 document text. Digest = md5 over the hex dump (DuckDB has no blob
 # md5/sha1; hex is uppercase in both engines).
+# The production sha1 column is dropped from this gate row because DuckDB has
+# no sha1 function at all; the exact payload BYTES are still pinned by the
+# md5-of-hex digest below, and sha1 itself (Spark built-in vs hashlib) is
+# golden-verified in tests/test_multimodal.py — pytest-verified only.
 _MAGIC_HEX = ["FFD8FF", "89504E47", "47494638", "52494646", "494433", "000102"]
 _KINDS = ["image/jpeg", "image/png", "image/gif", "audio/wav-or-avi",
           "audio/mp3", "application/octet-stream"]
@@ -255,10 +259,6 @@ def q_media_metadata(spark, sf_dir):
 def sql_media_metadata() -> str:
     magic_case = " ".join(
         f"WHEN {i} THEN '{h}'" for i, h in enumerate(_MAGIC_HEX)
-    )
-    kind_case = " ".join(
-        f"WHEN '{h[:8] if len(h) >= 8 else h}' THEN '{k}'"
-        for h, k in zip(_MAGIC_HEX[:5], _KINDS[:5])
     )
     return f"""
 WITH b AS (

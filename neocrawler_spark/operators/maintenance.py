@@ -52,6 +52,17 @@ def current_stuck(fetch_log: DataFrame) -> DataFrame:
     )
 
 
+def requeue_candidates(fetch_log: DataFrame, include_stuck: bool = True) -> DataFrame:
+    """fail set ∪ stuck set, one row per url_hash. A url whose log ends
+    [..., failed, retry] (requeued failure crashed mid-retry) is in BOTH sets
+    — latest terminal = failed, latest overall = retry — so the union dedupes
+    on url_hash (r2 ADVICE: the raw union double-requeued it)."""
+    fails = current_failures(fetch_log)
+    if include_stuck:
+        fails = fails.unionByName(current_stuck(fetch_log)).dropDuplicates(["url_hash"])
+    return fails
+
+
 def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
                      include_stuck: bool = True) -> int:
     """Append the live fail set (and, like the reference's queue helper, the
@@ -62,9 +73,7 @@ def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
     from ..functions import canon
 
     flog = catalog.read(spark, "fetch_log", schema.FETCH_LOG)
-    fails = current_failures(flog)
-    if include_stuck:
-        fails = fails.unionByName(current_stuck(flog))
+    fails = requeue_candidates(flog, include_stuck)
     frontier = catalog.read(spark, "frontier", schema.FRONTIER)
     url_state = catalog.read(spark, "url_state", schema.URL_STATE)
 

@@ -215,9 +215,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # Stale-trace repair on pop (checkURL, scheduler/index.js:350-370): when
     # the rule set changed between rounds, frontier entries whose rule_key no
     # longer exists are re-matched against the live rules (pUDF over the
-    # stale slice only) instead of dropping. Still-unmatched entries fall
-    # through with a null key and are consumed unscheduled by the quota
-    # window, like the reference's lpop-then-drop. GATED on the rule-set
+    # stale slice only) instead of dropping. Still-unmatched entries are
+    # dropped wholesale at this round's frontier rewrite (they are filtered
+    # out of the frontier read and never re-written) — the batch analog of
+    # the reference's lpop-then-drop. GATED on the rule-set
     # signature recorded in round state: the common path (config unchanged
     # since the frontier was written) pays nothing — no union, no pUDF.
     known_keys = sorted(ctx.by_key.keys())
@@ -325,7 +326,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     avg_rate = (balance / ctx.total_rates) if ctx.total_rates else 0.0
     ct_df = quota_cts(avail_df, rules_df, avg_rate)
     # fr2 feeds the scheduled queue AND the frontier rewrite (two actions).
-    fr2 = stg("fr2", consume_quota(fr, ct_df, ctx.lifo))
+    # Partitioned by `popped` WITHOUT reshuffle (boolean col, upstream quota
+    # window already partitioned the data): the frontier commit then ADOPTS
+    # the popped=false files driver-side (commit_files hardlink + manifest)
+    # instead of re-writing the surviving frontier through a second Spark job
+    # — at wave scale that job re-wrote the whole remaining frontier.
+    fr2 = cat.stage(spark, round_no, "fr2", consume_quota(fr, ct_df, ctx.lifo),
+                    partition_by=["popped"], shuffle=False)
     popped_bounds = (
         fr2.where("popped").groupBy("rule_key")
         .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
@@ -387,8 +394,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
     qa = q.withColumn("allowed", allowed_col)
     surv = per_host_budget(qa.where("allowed"), ["seq"], salts=st["politeness_salts"])
-    gated = stg(
-        "gated",
+    # disp partitions the stage into the three consumer row-sets; no reshuffle
+    # (3-value col — clustering would collapse the wave write to 3 tasks).
+    # Downstream filters become partition PRUNING, and the leftover set is
+    # committed to `scheduled` by ADOPTING its partition files driver-side —
+    # the old leftover write was a whole extra Spark job per round.
+    gated = cat.stage(
+        spark, round_no, "gated",
         surv.unionByName(
             qa.where(~F.col("allowed"))
             .withColumn("host_rank", F.lit(None).cast("int"))
@@ -402,14 +414,18 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
                  * F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)) * 1000).cast("long"),
             ),
         )
-        .drop("disallow", "crawl_delay_s", "max_fetches_per_round"),
+        .drop("disallow", "crawl_delay_s", "max_fetches_per_round")
+        .withColumn(
+            "disp",
+            F.when(~F.col("allowed"), F.lit("denied"))
+            .when(F.col("in_budget"), F.lit("batch"))
+            .otherwise(F.lit("left")),
+        ),
+        partition_by=["disp"], shuffle=False,
     )
-    batch = gated.where("allowed and in_budget").drop("allowed", "in_budget")
-    denied = gated.where("not allowed").select("url_hash", "url", "rule_key", "host", "seq")
+    batch = gated.where("disp = 'batch'").drop("allowed", "in_budget", "disp")
+    denied = gated.where("disp = 'denied'").select("url_hash", "url", "rule_key", "host", "seq")
     _mark("batch_done")
-    leftover = gated.where("allowed and not in_budget").select(
-        *[f.name for f in schema.SCHEDULED.fields]
-    )
 
     # ---------------- B2: fetch = batch ⋈ pages (the corpus-as-network join)
     # The batch side broadcasts (INNER join) so the html payload NEVER enters
@@ -461,7 +477,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # plentiful exactly when the wave is large (spark.sql.files.
     # maxPartitionBytes=64m in session.py keeps scan splits ≈ 2×cores for
     # multi-GB corpora).
-    approx_batch = min(balance, _frontier_rows) + len(seed_rows)
+    # include the scheduled backlog: the fetch wave is queue = scheduled ∪
+    # new_sched, so a backlog-dominated round (balance≈0) is still a large
+    # wave — without this term it would repartition multi-GB html into ~1 task
+    approx_batch = min(balance, _frontier_rows) + len(seed_rows) + backlog
     par = max(1, min(spark.sparkContext.defaultParallelism * 2,
                      approx_batch // 300 + 1))
     fv_par = fv.repartition(par, F.col("url_hash")) if approx_batch < 50_000 else fv
@@ -756,27 +775,22 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             )
         )
     )
-    from pyspark.sql import Observation
-
     # flog derives only from staged parquet (exres/denied) — the fetch_log
-    # commit and the metrics agg each re-read a few slim columns, no persist
-    obs = Observation()
-    # the observed plan must be executed by exactly ONE action — attach the
-    # observation only to the fetch_log-commit branch (concurrent actions on
-    # a shared observed plan trip Spark's single-firing assertion)
-    flog_observed = flog.observe(
-        obs,
-        F.sum(F.when(F.col("status") == "fetched", 1).otherwise(0)).alias("fetched"),
-        F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("failed"),
-        F.sum(F.when(F.col("status") == "robots_denied", 1).otherwise(0)).alias("denied"),
-    )
-    metrics_df = (
-        flog.withColumn("domain", _domain_expr())
-        .groupBy("domain", "status").count()
-        .select(
-            F.lit(round_no).alias("round"), F.lit(_yyyymmdd(round_ts)).alias("date"),
-            "domain", F.col("status").alias("metric"), F.col("count").alias("value"),
-        )
+    # commit re-reads a few slim columns, no persist.
+    # The metrics rollup (count per domain×status) and the round's
+    # fetched/failed/denied counters are NOT separate jobs (r2 ran a groupBy
+    # job + a write + an Observation): the fetch_log commit below writes
+    # partitioned by (p_status, p_domain), so every count is the row total
+    # of its partition's parquet footers — already scanned into the
+    # manifest. The metrics table commit collapses to a driver-side pyarrow
+    # write of O(domains×statuses) rows (_commit_metrics_from_flog after the
+    # commit pool). p_* are COPIES (hive strips partition cols from the
+    # physical files; readers use the manifest's explicit file list, which
+    # does no partition discovery).
+    flog_partitioned = (
+        flog
+        .withColumn("p_status", F.col("status"))
+        .withColumn("p_domain", F.coalesce(_domain_expr(), F.lit("")))
     )
 
     # bloom's replaced-partition set is ONLY buckets holding new hashes —
@@ -790,11 +804,24 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     bloom_touched = sorted({int(p["u_bucket"]) for p in parts if int(p["is_new"]) == 1})
 
     frontier_cols = [f.name for f in schema.FRONTIER.fields]
-    frontier_all = fr2.where(~F.col("popped")).select(*frontier_cols).unionByName(
-        frontier_append.select(*frontier_cols)
-    )
-    # sandbox: physical rewrite drops popped rows (consumed intervals reset);
-    # prod: mode='append' of frontier_append only + consumed-interval metadata.
+
+    def _commit_frontier():
+        # surviving (unpopped) frontier rows: ADOPT the fr2 stage's
+        # popped=false partition files into the snapshot (driver-side
+        # hardlink + footer scan — the extra working columns in those files
+        # are invisible through the FRONTIER-schema read), then APPEND this
+        # round's discoveries as the only Spark write. Net: the old
+        # whole-frontier rewrite job is gone; prod keeps the same shape with
+        # consumed-interval metadata instead of the adopt-overwrite.
+        cat.commit_files(
+            "frontier",
+            cat.stage_partition_files(round_no, "fr2", popped="false"),
+            round_no=round_no,
+        )
+        return cat.commit(
+            "frontier", frontier_append.select(*frontier_cols),
+            mode="append", round_no=round_no,
+        )
     # Commits run SEQUENTIALLY by default: measured at local[32], 7 concurrent
     # py4j write jobs stall each other 8-20x (driver/scheduler contention —
     # round-2 commits 47-119s concurrent vs 10s sequential; each write alone
@@ -805,8 +832,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     commit_plan = {
-        "frontier": lambda: cat.commit("frontier", frontier_all, round_no=round_no),
-        "scheduled": lambda: cat.commit("scheduled", leftover.coalesce(4), round_no=round_no),
+        "frontier": _commit_frontier,
+        # leftover = the gated stage's disp=left partition, adopted as-is
+        # (driver-side, no job; SCHEDULED-schema read projects the extra cols)
+        "scheduled": lambda: cat.commit_files(
+            "scheduled", cat.stage_partition_files(round_no, "gated", disp="left"),
+            round_no=round_no,
+        ),
         "url_state": lambda: cat.commit(
             "url_state", merged.withColumn("pbucket", F.col("bucket")),
             mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
@@ -830,8 +862,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             ))
             for c in categories
         },
-        "fetch_log": lambda: cat.commit("fetch_log", flog_observed.coalesce(4), mode="append", round_no=round_no),
-        "metrics": lambda: cat.commit("metrics", metrics_df.coalesce(1), mode="append", round_no=round_no),
+        "fetch_log": lambda: cat.commit(
+            "fetch_log", flog_partitioned, mode="append", round_no=round_no,
+            partition_by=["p_status", "p_domain"],
+        ),
     }
     _mark("pre_commit")
 
@@ -846,15 +880,16 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         res = {name: fut.result() for name, fut in futures.items()}
     snaps = {name: r[0] for name, r in res.items()}
     commit_s = {name: r[1] for name, r in res.items()}
+    # metrics = footer rollup of the fetch_log commit just made — no Spark job
+    snaps["metrics"], status_counts = _commit_metrics_from_flog(cat, round_no, round_ts)
     _mark("commits_done")
 
-    counts = obs.get  # filled by the fetch_log/metrics write actions above
     round_metrics = {
         "round": round_no,
         "round_ts": round_ts,
-        "fetched": int(counts.get("fetched") or 0),
-        "failed": int(counts.get("failed") or 0),
-        "denied": int(counts.get("denied") or 0),
+        "fetched": status_counts.get("fetched", 0),
+        "failed": status_counts.get("failed", 0),
+        "denied": status_counts.get("robots_denied", 0),
         "scheduled_backlog": backlog,
         "balance": balance,
         "popped_intervals": {
@@ -952,6 +987,49 @@ def _merge_version():
         & (base.isNull() | (F.col("u.version_cand") > base)),
         F.col("u.version_cand"),
     ).otherwise(base)
+
+
+def _commit_metrics_from_flog(cat: Catalog, round_no: int, round_ts: int
+                              ) -> tuple[int, dict[str, int]]:
+    """Round metrics (count per domain×status, the reference's
+    count:{yyyymmdd} {metric}:{domain} counters) derived ENTIRELY from the
+    fetch_log commit's manifest: the write was partitioned by (p_status,
+    p_domain), so each partition's row total — already footer-scanned into
+    the manifest — IS the metric value. Appends the O(domains×statuses)-row
+    result via the catalog's driver-side pyarrow path: zero Spark jobs where
+    round 2 ran a full groupBy job + write + an Observation per round.
+    Returns (metrics snapshot, per-status totals) — the totals also feed the
+    round record's fetched/failed/denied counters."""
+    import os as _os
+    from urllib.parse import unquote
+
+    man = cat.manifest("fetch_log")
+    snap_tok = f"snap-{man['snapshot']:012d}"
+    agg: dict[tuple, int] = {}
+    for f in man["files"]:
+        parts = f["path"].split(_os.sep)
+        if snap_tok not in parts:
+            continue  # parent files from earlier rounds
+        status = domain = None
+        for p in parts:
+            if p.startswith("p_status="):
+                status = unquote(p[len("p_status="):])
+            elif p.startswith("p_domain="):
+                v = p[len("p_domain="):]
+                # hive writes null/empty partition values as the default token
+                domain = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        key = (domain, status)
+        agg[key] = agg.get(key, 0) + f["rows"]
+    rows = [
+        (round_no, _yyyymmdd(round_ts), d, s, n)
+        for (d, s), n in sorted(agg.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or ""))
+    ]
+    snap = cat.commit_rows("metrics", rows, schema.METRICS, mode="append",
+                           round_no=round_no)
+    by_status: dict[str, int] = {}
+    for (_d, s), n in agg.items():
+        by_status[s] = by_status.get(s, 0) + n
+    return snap, by_status
 
 
 def _yyyymmdd(ts_ms: int) -> str:

@@ -81,6 +81,17 @@ def get_spark(
         # measured 60-70s of "CPU" per trivial shuffle task, only at high
         # core counts. Stream copy avoids mmap entirely.
         .config("spark.file.transferTo", "false")
+        # the round's stage/commit writes are hive-partitioned on LOW-
+        # cardinality cols (popped/disp/status×domain/bucket): concurrent
+        # writers skip FileFormatWriter's sort-by-partition-cols pass
+        # (falls back to sorting only past this many open writers per task)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "32")
+        # committer v2 renames task output directly at task commit instead
+        # of a sequential driver-side merge at job commit — the per-write
+        # fixed cost of partitioned commits is driver floor at any core
+        # count. Partial-failure debris is not a correctness risk here: the
+        # snapshot manifest (CURRENT pointer) is the only commit point.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # local[N] = driver and executors share ONE JVM: size the heap for N
         # concurrent tasks holding page payloads (the sandbox has 128 GiB; a

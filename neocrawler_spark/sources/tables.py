@@ -159,6 +159,102 @@ class Catalog:
         else:
             raise ValueError(f"unknown commit mode: {mode}")
 
+        self._write_manifest(name, snap, parent, round_no, mode, files, new_files,
+                             metrics, write_ms, scan_ms)
+        return snap
+
+    def commit_files(
+        self,
+        name: str,
+        file_paths: list[str | Path],
+        mode: str = "overwrite",
+        round_no: int | None = None,
+        metrics: dict | None = None,
+    ) -> int:
+        """Manifest-only commit: adopt ALREADY-WRITTEN parquet files (e.g. a
+        partition of an intra-round stage) as a new snapshot — no Spark job.
+        Files are hardlinked into the snapshot dir (copy fallback), so the
+        snapshot survives `drop_stages`. This is the floor-cut path: when a
+        sink is a pure row-subset of a stage that was partitioned on the
+        subset predicate, the commit collapses to a driver-side link+footer
+        scan. The Iceberg analog is manifest reuse of unchanged data files.
+
+        Adopted files may carry EXTRA physical columns (stages hold working
+        columns); readers go through `read(schema)` which projects the
+        table's declared columns only.
+        """
+        tdir = self._tdir(name)
+        (tdir / "_manifests").mkdir(parents=True, exist_ok=True)
+        parent = self.current_snapshot(name)
+        snap = (parent or 0) + 1
+        data_dir = tdir / f"snap-{snap:012d}"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        linked: list[Path] = []
+        for i, src in enumerate(sorted(str(p) for p in file_paths)):
+            dst = data_dir / f"adopt-{i:05d}.parquet"
+            try:
+                os.link(src, dst)
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)
+            linked.append(dst)
+        new_files = self._scan_paths(linked)
+        if mode == "overwrite" or parent is None:
+            files = new_files
+        elif mode == "append":
+            files = list(self.manifest(name, parent)["files"]) + new_files
+        else:
+            raise ValueError(f"commit_files: unsupported mode {mode}")
+        self._write_manifest(name, snap, parent, round_no, mode, files, new_files,
+                             metrics, write_ms=0, scan_ms=0)
+        return snap
+
+    def commit_rows(
+        self,
+        name: str,
+        rows: list[tuple],
+        schema: T.StructType,
+        mode: str = "append",
+        round_no: int | None = None,
+    ) -> int:
+        """Driver-side commit of a TINY row set (config-sized — e.g. one
+        round's metrics rollup, O(domains×statuses) rows) via pyarrow: no
+        Spark job at all. Schema is the table's Spark StructType, mapped to
+        arrow so `read(schema)` round-trips exactly."""
+        import pyarrow as pa
+
+        _ARROW = {"integer": pa.int32(), "long": pa.int64(), "string": pa.string(),
+                  "double": pa.float64(), "boolean": pa.bool_()}
+        arrow_schema = pa.schema(
+            [(f.name, _ARROW[f.dataType.typeName()]) for f in schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+        tdir = self._tdir(name)
+        (tdir / "_manifests").mkdir(parents=True, exist_ok=True)
+        parent = self.current_snapshot(name)
+        snap = (parent or 0) + 1
+        data_dir = tdir / f"snap-{snap:012d}"
+        data_dir.mkdir(parents=True, exist_ok=True)
+        out = data_dir / "part-00000.parquet"
+        pq.write_table(table, out)
+        new_files = self._scan_paths([out])
+        if mode == "overwrite" or parent is None:
+            files = new_files
+        elif mode == "append":
+            files = list(self.manifest(name, parent)["files"]) + new_files
+        else:
+            raise ValueError(f"commit_rows: unsupported mode {mode}")
+        self._write_manifest(name, snap, parent, round_no, mode, files, new_files,
+                             None, write_ms=0, scan_ms=0)
+        return snap
+
+    def _write_manifest(self, name, snap, parent, round_no, mode, files,
+                        new_files, metrics, write_ms, scan_ms) -> None:
         man = {
             "table": name,
             "snapshot": snap,
@@ -179,13 +275,10 @@ class Catalog:
         tmp.write_text(json.dumps(man))
         os.replace(tmp, mp)
         self.set_current(name, snap)
-        return snap
 
     @staticmethod
-    def _scan_files(data_dir: Path) -> list[dict]:
+    def _scan_paths(paths: list[Path]) -> list[dict]:
         from concurrent.futures import ThreadPoolExecutor
-
-        paths = sorted(data_dir.rglob("*.parquet"))
 
         def one(p: Path) -> dict:
             meta = pq.ParquetFile(p).metadata
@@ -196,10 +289,15 @@ class Catalog:
         with ThreadPoolExecutor(max_workers=16) as pool:
             return list(pool.map(one, paths))
 
+    @classmethod
+    def _scan_files(cls, data_dir: Path) -> list[dict]:
+        return cls._scan_paths(sorted(data_dir.rglob("*.parquet")))
+
     # ------------------------------------------------------------- stages
     def stage(self, spark: SparkSession, round_no: int, name: str, df: DataFrame,
               repartition: int | None = None,
-              partition_by: list[str] | None = None) -> DataFrame:
+              partition_by: list[str] | None = None,
+              shuffle: bool = True) -> DataFrame:
         """Materialize an intra-round intermediate to parquet and return a
         reader over it. This cuts the round's DAG at stage boundaries: every
         downstream job sees `Scan parquet` instead of the full upstream
@@ -217,8 +315,15 @@ class Catalog:
         if partition_by:
             # partitioned stage: the partition-value *set* becomes readable
             # driver-side from the directory names (stage_partition_values) —
-            # replaces a distinct().collect() job with a listdir
-            w = df.repartition(*[_fcol(c) for c in partition_by])
+            # replaces a distinct().collect() job with a listdir.
+            # shuffle=False keeps the upstream partitioning (each task writes
+            # ≤|values| files) — for LOW-cardinality partition cols (e.g. a
+            # boolean disposition) where clustering would collapse the write
+            # to |values| tasks and serialize a wave; the file-count bound is
+            # tasks×values, and downstream reads get partition PRUNING, which
+            # is the point (stage_partition_files adopts a value's files into
+            # a snapshot without any Spark job).
+            w = df.repartition(*[_fcol(c) for c in partition_by]) if shuffle else df
             w.write.mode("overwrite").partitionBy(*partition_by).parquet(str(path))
         else:
             w = df.repartition(repartition) if repartition else df
@@ -228,6 +333,17 @@ class Catalog:
         # frame (e.g. a converged round with no updates) leaves zero data
         # files, and schema inference would fail on the bare directory
         return spark.read.schema(df.schema).parquet(str(path))
+
+    def stage_partition_files(self, round_no: int, name: str,
+                              **partition_values: str) -> list[Path]:
+        """Data files of one partition of a partitioned stage (hive dir
+        layout), listed driver-side — the input to `commit_files`."""
+        base = self.root / "_stages" / f"r{round_no:08d}" / name
+        for k, v in partition_values.items():
+            base = base / f"{k}={v}"
+        if not base.exists():
+            return []
+        return sorted(base.rglob("*.parquet"))
 
     def stage_partition_values(self, round_no: int, name: str) -> list[dict]:
         """Distinct partition-column value combos of a partitioned stage,

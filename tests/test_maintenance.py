@@ -121,3 +121,17 @@ def test_current_stuck_latest_retry_only(spark):
     assert stuck == ["u3"]
     fails = [r["url_hash"] for r in mt.current_failures(flog).collect()]
     assert fails == ["u2"]
+
+
+def test_requeue_candidates_dedupes_failed_then_retry(spark):
+    """A url whose log ends [failed, retry] sits in BOTH the fail and stuck
+    sets; requeue_candidates must emit it exactly once (r2 ADVICE)."""
+    rows = [
+        (1, 10, "u1", "http://a/1", "a", "failed", "missing", 0),
+        (2, 20, "u1", "http://a/1", "a", "retry", None, 0),
+        # control: plain failure, appears once
+        (1, 11, "u2", "http://a/2", "a", "failed", "missing", 0),
+    ]
+    flog = spark.createDataFrame(rows, schema.FETCH_LOG)
+    cand = mt.requeue_candidates(flog).collect()
+    assert sorted(r["url_hash"] for r in cand) == ["u1", "u2"]

@@ -26,6 +26,17 @@ def test_metadata(media):
     assert out["d"]["n_bytes"] is None
 
 
+def test_metadata_sha1_matches_hashlib(media):
+    """sha1 golden vs hashlib — DuckDB has no sha1, so the driver gate drops
+    this column (crawl_gate.q_media_metadata); this is its verification."""
+    import hashlib
+
+    out = {r["media_id"]: r["sha1"] for r in mm.media_metadata(media, "media_id", "blob").collect()}
+    assert out["a"] == hashlib.sha1(b"\xff\xd8\xff\xe0" + b"j" * 5000).hexdigest()
+    assert out["c"] == hashlib.sha1(b"ID3\x04" + b"m" * 100).hexdigest()
+    assert out["d"] is None
+
+
 def test_feature_extract_deterministic(media):
     a = mm.feature_extract(media, "media_id", "blob").orderBy("media_id").collect()
     b = mm.feature_extract(media, "media_id", "blob").orderBy("media_id").collect()
