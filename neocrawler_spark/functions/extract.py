@@ -276,12 +276,17 @@ def sniff_charset(head: bytes, default: str = "utf-8") -> str:
     charset from the Content-Type header / meta tag before iconv-decoding,
     :272-285). Our corpus-as-network has no headers, so only the meta/xml
     declaration in the first 2KB is consulted; unknown/missing -> default."""
+    import codecs
+
     m = _CHARSET_RE.search(head[:2048])
     if not m:
         return default
     enc = (m.group(1) or m.group(2)).decode("ascii", "ignore").lower()
     try:
-        b"".decode(enc)
+        # NOT b"".decode(enc): CPython short-circuits decoding empty bytes
+        # and never validates the codec name (r3 gate caught a bogus
+        # declared charset passing through)
+        codecs.lookup(enc)
     except (LookupError, ValueError):
         return default
     return enc

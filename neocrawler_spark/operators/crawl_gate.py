@@ -18,7 +18,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 from ..functions import multimodal
 from ..functions.canon import domain_udf, wash_links
-from ..functions.extract import regex_selector
+from ..functions.extract import regex_selector, sniff_charset
 from .analytics import ROUND_TS_MS, load
 from .scheduler import discovery_admit
 
@@ -282,6 +282,73 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# 8. Charset sniff (functions/extract.sniff_charset — the content analog of
+# the reference's response-encoding sniff, downloader.js:272-285 header
+# charset regex + the meta/xml declaration fallback). Page bytes are
+# synthesized deterministically: a declaration prefix chosen by doc_id + the
+# (all-ASCII) document text, so the 2048-BYTE python window equals the
+# 2048-CHAR SQL window. Covers: uppercase meta, http-equiv, xml encoding,
+# no declaration, unknown codec -> default, declaration past the 2KB window.
+_SNIFF_PREFIXES = [
+    '<html><head><META CHARSET="GBK"></head>',
+    '<html><head><meta http-equiv="Content-Type"'
+    ' content="text/html; charset=ISO-8859-1"></head>',
+    '<?xml version="1.0" encoding="Big5"?><page>',
+    "<html><head><title>no decl</title></head>",
+    '<html><head><meta charset="bogus-enc"></head>',
+    " " * 2100 + '<meta charset="gbk">',
+]
+_SNIFF_KNOWN = ("gbk", "iso-8859-1", "big5")
+# the production regex, restated for DuckDB (RE2): same alternation, same
+# groups; both engines take the LEFTMOST match and its non-empty group
+_SNIFF_PAT_SQL = (
+    "<meta[^>]+charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9_\\-]+)"
+    "|<\\?xml[^>]+encoding\\s*=\\s*[\"']([a-zA-Z0-9_\\-]+)"
+)
+
+
+def _sniff_udf():
+    @pandas_udf(StringType())
+    def _sn(blobs: pd.Series) -> pd.Series:
+        return pd.Series([sniff_charset(bytes(b)) for b in blobs])
+
+    return _sn
+
+
+def q_charset_sniff(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    prefix = F.element_at(
+        F.array(*[F.lit(p) for p in _SNIFF_PREFIXES]), (F.col("doc_id") % 6 + 1).cast("int")
+    )
+    page = F.encode(F.concat(prefix, F.col("text")), "utf-8")
+    return d.select("doc_id", _sniff_udf()(page).alias("charset"))
+
+
+def sql_charset_sniff() -> str:
+    prefix_case = " ".join(
+        f"WHEN {i} THEN '{p.replace(chr(39), chr(39) * 2)}'"
+        for i, p in enumerate(_SNIFF_PREFIXES)
+    )
+    pat = _SNIFF_PAT_SQL.replace("'", "''")
+    known = ", ".join(f"'{k}'" for k in _SNIFF_KNOWN)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         substr((CASE doc_id % 6 {prefix_case} END) || text, 1, 2048) AS head
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         lower(coalesce(nullif(regexp_extract(head, '{pat}', 1, 'i'), ''),
+                        nullif(regexp_extract(head, '{pat}', 2, 'i'), ''))) AS tok
+  FROM p
+)
+SELECT doc_id,
+       CASE WHEN tok IN ({known}) THEN tok ELSE 'utf-8' END AS charset
+FROM m
+"""
+
+
 QUERIES = {
     "tld_reduce": (q_tld_reduce, SQL_TLD_REDUCE),
     "link_wash": (q_link_wash, SQL_LINK_WASH),
@@ -290,4 +357,5 @@ QUERIES = {
     "content_validation": (q_content_validation, SQL_CONTENT_VALIDATION),
     "recrawl_window_discovery": (q_recrawl_window_discovery, SQL_RECRAWL_DISCOVERY),
     "media_metadata": (q_media_metadata, sql_media_metadata()),
+    "charset_sniff": (q_charset_sniff, sql_charset_sniff()),
 }

@@ -19,6 +19,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -116,14 +119,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
     # Banded equi self-join over a persisted bands frame (tokens exploded
     # once; both join sides read the cache), then the candidate pairs are
-    # materialized eagerly via localCheckpoint so `bands` can be unpersisted
-    # INSIDE this function — no CacheManager leak outlives the call (r1
-    # VERDICT #5). The checkpointed pairs use MEMORY_AND_DISK and are freed
-    # by ContextCleaner once the caller drops the DataFrame. (Measured at
-    # sf0.1 vs alternatives: in-group slice-expansion 27 s, streaming
-    # double-explode 13 s, this 6 s warm.) On a multi-executor cluster,
-    # swap localCheckpoint for a reliable checkpoint dir or a table write —
-    # localCheckpoint partitions die with their executor.
+    # materialized eagerly so `bands` can be unpersisted INSIDE this function
+    # — no CacheManager leak outlives the call (r1 VERDICT #5). Two
+    # materialization paths (r2 VERDICT #7):
+    # * default: localCheckpoint (MEMORY_AND_DISK, freed by ContextCleaner
+    #   once the caller drops the frame). Measured at sf0.1 vs alternatives:
+    #   in-group slice-expansion 27 s, streaming double-explode 13 s, this
+    #   6 s warm. Caveat: localCheckpoint partitions die with their executor.
+    # * NCS_LSH_CHECKPOINT_DIR=<dir>: executor-loss-safe parquet table write
+    #   + read-back — the multi-executor-cluster path (a lost executor only
+    #   re-reads the file split; nothing recomputes the banded join).
     bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
@@ -137,7 +142,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    out = pairs.localCheckpoint()  # eager
+    ckpt_root = os.environ.get("NCS_LSH_CHECKPOINT_DIR")
+    if ckpt_root:
+        path = os.path.join(ckpt_root, f"lsh-pairs-{uuid.uuid4().hex}")
+        pairs.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+    else:
+        out = pairs.localCheckpoint()  # eager
     bands.unpersist()
     return out
 

@@ -52,19 +52,42 @@ def current_stuck(fetch_log: DataFrame) -> DataFrame:
     )
 
 
-def requeue_candidates(fetch_log: DataFrame, include_stuck: bool = True) -> DataFrame:
-    """fail set ∪ stuck set, one row per url_hash. A url whose log ends
-    [..., failed, retry] (requeued failure crashed mid-retry) is in BOTH sets
-    — latest terminal = failed, latest overall = retry — so the union dedupes
-    on url_hash (r2 ADVICE: the raw union double-requeued it)."""
+def current_lack(fetch_log: DataFrame) -> DataFrame:
+    """The live incomplete-data set = urls whose LATEST terminal outcome is a
+    fetch with reason='data_lack' (the `incomplete:data:url` zset analog,
+    /root/reference/spider/extractor.js:281-291: zadd on missing required
+    fields, zrem on a later complete extraction — realized as latest-event-
+    wins over the append-only log)."""
+    w = Window.partitionBy("url_hash").orderBy(F.desc("round"), F.desc("seq"))
+    return (
+        fetch_log.where(F.col("status").isin("fetched", "failed"))
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .where((F.col("status") == "fetched") & (F.col("reason") == "data_lack"))
+        .drop("rn")
+    )
+
+
+def requeue_candidates(fetch_log: DataFrame, include_stuck: bool = True,
+                       include_lack: bool = False) -> DataFrame:
+    """fail set ∪ stuck set (∪ data-lack set), one row per url_hash. A url
+    whose log ends [..., failed, retry] (requeued failure crashed mid-retry)
+    is in BOTH the fail and stuck sets — latest terminal = failed, latest
+    overall = retry — so the union dedupes on url_hash (r2 ADVICE: the raw
+    union double-requeued it). include_lack mirrors queue-helper's
+    incomplete:data:url re-queue (tools/queue-helper.js:99-162)."""
     fails = current_failures(fetch_log)
     if include_stuck:
-        fails = fails.unionByName(current_stuck(fetch_log)).dropDuplicates(["url_hash"])
+        fails = fails.unionByName(current_stuck(fetch_log))
+    if include_lack:
+        fails = fails.unionByName(current_lack(fetch_log))
+    if include_stuck or include_lack:
+        fails = fails.dropDuplicates(["url_hash"])
     return fails
 
 
 def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
-                     include_stuck: bool = True) -> int:
+                     include_stuck: bool = True, include_lack: bool = False) -> int:
     """Append the live fail set (and, like the reference's queue helper, the
     stuck set) back into the frontier (queue-helper re-queue). Returns the
     number of re-queued URLs. Resets their url_state status to 'hit' so the
@@ -73,7 +96,7 @@ def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
     from ..functions import canon
 
     flog = catalog.read(spark, "fetch_log", schema.FETCH_LOG)
-    fails = requeue_candidates(flog, include_stuck)
+    fails = requeue_candidates(flog, include_stuck, include_lack)
     frontier = catalog.read(spark, "frontier", schema.FRONTIER)
     url_state = catalog.read(spark, "url_state", schema.URL_STATE)
 
@@ -116,6 +139,16 @@ def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
             mode="overwrite-partitions", partition_by=["pbucket"],
             replaced_partitions={"pbucket": touched},
         )
+        # Fold the requeue's snapshots into the last round record: resume
+        # restores CURRENT pointers from that record (crash-discard), so an
+        # un-recorded maintenance commit would be silently rolled back by the
+        # next round's load_state.
+        rec = catalog.last_completed_round()
+        if rec is not None:
+            snaps = dict(rec["snapshots"])
+            snaps["frontier"] = catalog.current_snapshot("frontier")
+            snaps["url_state"] = catalog.current_snapshot("url_state")
+            catalog.commit_round(rec["round"], snaps, rec["metrics"])
     catalog.drop_stages(0)
     return n
 

@@ -133,57 +133,70 @@ def _l2sq(ae: str, be: str):
     )
 
 
-def q_ann_ivf_kmeans(spark, sf_dir):
-    """Data-dependent IVF (VERDICT r1 #4): one deterministic Lloyd step from
-    fixed seed vectors, then nprobe-cell search — the relational expression of
-    the FAISS-IVF plan shape:
+def ivf_kmeans_cells(spark, sf_dir, k: int = K_CELLS, iters: int = 1):
+    """The IVF coarse quantizer: `iters` deterministic Lloyd steps from K
+    fixed seed vectors. Returns (cent, assign) — centroid table (cell, ce)
+    and inverted-list assignment (vec_id, cell). Centroid means are rounded
+    6dp each step (kills float-order noise so the DuckDB oracle reproduces
+    bit-identical cells)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cands = emb.where(f"vec_id >= {N_QUERIES}").select("vec_id", "embedding")
+    seeds = (
+        emb.where(f"vec_id >= {_SEED_LO} and vec_id < {_SEED_LO + k}")
+        .select((F.col("vec_id") - _SEED_LO).cast("int").alias("cell"),
+                F.col("embedding").alias("se"))
+    )
+    # assign0: argmin over K seeds (min_by struct => deterministic cell tiebreak)
+    assign = (
+        cands.crossJoin(F.broadcast(seeds))
+        .withColumn("d", _l2sq("embedding", "se"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+    )
+    cent = None
+    for _ in range(iters):
+        # Lloyd step: element-wise mean per cell -> re-assign to new centroids
+        cent = (
+            cands.join(assign, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .groupBy("cell")
+            .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
+                 .alias("ce"))
+        )
+        assign = (
+            cands.crossJoin(F.broadcast(cent))
+            .withColumn("d", _l2sq("embedding", "ce"))
+            .groupBy("vec_id")
+            .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
+        )
+    return cent, assign
+
+
+def q_ann_ivf_kmeans(spark, sf_dir, k: int = K_CELLS, nprobe: int = NPROBE,
+                     iters: int = 1):
+    """Data-dependent IVF (VERDICT r1 #4): `iters` deterministic Lloyd steps
+    from fixed seed vectors, then nprobe-cell search — the relational
+    expression of the FAISS-IVF plan shape:
 
       seeds   = K fixed data vectors (vec_id-deterministic sample)
       assign0 = every candidate -> nearest seed        (broadcast K, argmin)
-      cent    = element-wise mean per cell, rounded 6dp (kills float-order
-                noise so the DuckDB oracle reproduces bit-identical cells)
-      assign1 = candidate -> nearest centroid          (the inverted lists)
+      [iters×] cent = element-wise mean per cell; assign = nearest centroid
       probe   = query -> NPROBE nearest centroids
       search  = exact cosine top-k over the probed cells' candidates only
 
     At 10^10 vectors: centroids are a broadcast table; assignment is a
     map-side argmin over K<<n; per-query work is bounded by the probed cells'
     lists (data-dependent balance), not n/2^b as with static sign-bit cells.
-    The K here is gate-sized; a production build scales K ~ sqrt(n) and adds
-    k-means iterations — each iteration is this same aggregate, so the plan
-    shape is already the scale path."""
+    K and iters are parameters (VERDICT r2 #8): a production build scales
+    K ~ sqrt(n); scripts/ivf_cells.py logs the per-cell candidate histogram
+    at K=32 on the sf0.1 embeddings."""
     emb = load(spark, sf_dir, "embeddings")
     cands = emb.where(f"vec_id >= {N_QUERIES}").select("vec_id", "embedding")
-    seeds = (
-        emb.where(f"vec_id >= {_SEED_LO} and vec_id < {_SEED_LO + K_CELLS}")
-        .select((F.col("vec_id") - _SEED_LO).cast("int").alias("cell"),
-                F.col("embedding").alias("se"))
-    )
-    # assign0: argmin over K seeds (min_by struct => deterministic cell tiebreak)
-    a0 = (
-        cands.crossJoin(F.broadcast(seeds))
-        .withColumn("d", _l2sq("embedding", "se"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
-    )
-    # one Lloyd step: element-wise mean per cell, rounded for cross-engine parity
-    cent = (
-        cands.join(a0, "vec_id")
-        .select("cell", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("cell", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
-        .groupBy("cell")
-        .agg(F.expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)")
-             .alias("ce"))
-    )
-    assign1 = (
-        cands.crossJoin(F.broadcast(cent))
-        .withColumn("d", _l2sq("embedding", "ce"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cell", F.struct("d", "cell")).alias("cell"))
-    )
+    cent, assign = ivf_kmeans_cells(spark, sf_dir, k=k, iters=iters)
     inv = cands.withColumnRenamed("vec_id", "neighbor_id").join(
-        assign1.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     ).withColumnRenamed("embedding", "ce2")
     q = emb.where(f"vec_id < {N_QUERIES}").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -193,7 +206,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
         .withColumn("d", _l2sq("qe", "ce"))
         .withColumn("crank", F.row_number().over(
             Window.partitionBy("query_id").orderBy("d", "cell")))
-        .where(f"crank <= {NPROBE}")
+        .where(f"crank <= {nprobe}")
         .select("query_id", "qe", "cell")
     )
     scored = probe.join(inv, "cell").withColumn("cos", _cosine("qe", "ce2"))
@@ -205,11 +218,37 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
-SQL_ANN_IVF_KMEANS = f"""
+def sql_ann_ivf_kmeans(k: int = K_CELLS, nprobe: int = NPROBE,
+                       iters: int = 1) -> str:
+    """Shape-generic oracle in lockstep with q_ann_ivf_kmeans: the same
+    seed-assign → [iters× (centroid means, re-assign)] → probe → search,
+    with one CTE pair per Lloyd step."""
+    steps = []
+    prev = "a0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+cent{i} AS (
+  SELECT cell, list(cv ORDER BY dim) AS ce FROM (
+    SELECT {prev}.cell, i AS dim, round(avg(c.embedding[i]::DOUBLE), 6) AS cv
+    FROM cands c JOIN {prev} USING (vec_id),
+         unnest(generate_series(1, len(c.embedding))) AS t(i)
+    GROUP BY {prev}.cell, i
+  ) GROUP BY cell
+),
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cell,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY list_distance(c.embedding::DOUBLE[], ct.ce), ct.cell) AS rn
+    FROM cands c, cent{i} ct
+  ) WHERE rn = 1
+)""")
+        prev = f"a{i}"
+    return f"""
 WITH cands AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {N_QUERIES}),
 seeds AS (
   SELECT CAST(vec_id - {_SEED_LO} AS INT) AS cell, embedding AS se
-  FROM embeddings WHERE vec_id >= {_SEED_LO} AND vec_id < {_SEED_LO + K_CELLS}
+  FROM embeddings WHERE vec_id >= {_SEED_LO} AND vec_id < {_SEED_LO + k}
 ),
 a0 AS (
   SELECT vec_id, cell FROM (
@@ -218,30 +257,14 @@ a0 AS (
              ORDER BY list_distance(c.embedding::DOUBLE[], s.se::DOUBLE[]), s.cell) AS rn
     FROM cands c, seeds s
   ) WHERE rn = 1
-),
-cent AS (
-  SELECT cell, list(cv ORDER BY dim) AS ce FROM (
-    SELECT a0.cell, i AS dim, round(avg(c.embedding[i]::DOUBLE), 6) AS cv
-    FROM cands c JOIN a0 USING (vec_id),
-         unnest(generate_series(1, len(c.embedding))) AS t(i)
-    GROUP BY a0.cell, i
-  ) GROUP BY cell
-),
-assign1 AS (
-  SELECT vec_id, cell FROM (
-    SELECT c.vec_id, ct.cell,
-           row_number() OVER (PARTITION BY c.vec_id
-             ORDER BY list_distance(c.embedding::DOUBLE[], ct.ce), ct.cell) AS rn
-    FROM cands c, cent ct
-  ) WHERE rn = 1
-),
+),{",".join(steps)},
 probe AS (
   SELECT query_id, cell FROM (
     SELECT q.vec_id AS query_id, ct.cell,
            row_number() OVER (PARTITION BY q.vec_id
              ORDER BY list_distance(q.embedding::DOUBLE[], ct.ce), ct.cell) AS crank
-    FROM embeddings q, cent ct WHERE q.vec_id < {N_QUERIES}
-  ) WHERE crank <= {NPROBE}
+    FROM embeddings q, cent{iters} ct WHERE q.vec_id < {N_QUERIES}
+  ) WHERE crank <= {nprobe}
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -249,10 +272,13 @@ SELECT query_id, neighbor_id, rank FROM (
            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
   FROM probe p
   JOIN embeddings q ON q.vec_id = p.query_id
-  JOIN assign1 a ON a.cell = p.cell
+  JOIN a{iters} a ON a.cell = p.cell
   JOIN cands c ON c.vec_id = a.vec_id
 ) WHERE rank <= {TOP_K}
 """
+
+
+SQL_ANN_IVF_KMEANS = sql_ann_ivf_kmeans()
 
 
 def q_embed_nearest_label(spark, sf_dir):
@@ -274,9 +300,16 @@ FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
 GROUP BY t.query_id, e.label
 """
 
+def q_ann_ivf_kmeans_k32(spark, sf_dir):
+    """K=32, 2 Lloyd steps — the production-shaped instance (K ~ sqrt(n) at
+    gate scale); same plan, bigger broadcast centroid table."""
+    return q_ann_ivf_kmeans(spark, sf_dir, k=32, nprobe=NPROBE, iters=2)
+
+
 QUERIES = {
     "embed_cosine_topk": (q_embed_cosine_topk, SQL_EMBED_COSINE_TOPK),
     "ann_ivf_bucket": (q_ann_ivf_bucket, SQL_ANN_IVF_BUCKET),
     "ann_ivf_kmeans": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
+    "ann_ivf_kmeans_k32": (q_ann_ivf_kmeans_k32, sql_ann_ivf_kmeans(k=32, iters=2)),
     "embed_nearest_label": (q_embed_nearest_label, SQL_EMBED_NEAREST_LABEL),
 }

@@ -29,6 +29,7 @@ then 'crawled_failure' — inside the same round.
 from __future__ import annotations
 
 import hashlib
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -230,6 +231,36 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             stale.withColumn("rule_key", detect_key_udf(ctx.by_domain)(F.col("url")))
             .where(F.col("rule_key").isNotNull())
         )
+    # Transform-on-pop re-canonicalization (checkURL's transformLink,
+    # scheduler/index.js:349-354): when a rule's id_parameter changed between
+    # rounds, its frontier entries are re-canonicalized under the CURRENT
+    # rule before admission; url_hash + bucket follow the new form. The
+    # reference then consults url_info under the NEW hash — entries whose
+    # transformed form is unknown are consumed unscheduled ('not exists in
+    # urlinfo' → callback(false)), entries collapsing onto one form merge via
+    # the first-occurrence admission window below. GATED on per-rule
+    # id_parameter signatures in round state: unchanged config pays nothing.
+    id_sigs = {
+        k: hashlib.md5(
+            json.dumps(ctx.by_key[k].get("id_parameter") or []).encode()
+        ).hexdigest()
+        for k in known_keys
+    }
+    prev_id_sigs = state.get("id_sigs") or {}
+    changed_keys = [
+        k for k in known_keys
+        if k in prev_id_sigs and prev_id_sigs[k] != id_sigs[k]
+    ]
+    if changed_keys:
+        id_map = {k: ctx.by_key[k].get("id_parameter") for k in changed_keys}
+        sl = (
+            frontier.where(F.col("rule_key").isin(changed_keys))
+            .withColumn("url", canon.canonicalize_udf(id_map)(F.col("url"), F.col("rule_key")))
+            .drop("url_hash", "bucket")
+        )
+        sl = canon.with_url_identity(sl, buckets=st["buckets"])
+        keep = frontier.where(~F.col("rule_key").isin(changed_keys))
+        frontier = keep.unionByName(sl.select(*keep.columns))
     scheduled = cat.read(spark, "scheduled", schema.SCHEDULED)
     shards = cat.read(spark, "bloom", bloom.BLOOM_SCHEMA)
     rules_df = ctx.rules_df()
@@ -907,6 +938,9 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         # current rule set (repair ran this round if it was needed), so the
         # signature history collapses to the live one
         "rules_sigs": [rules_sig],
+        # per-rule id_parameter signatures: next round re-canonicalizes the
+        # frontier slice of any rule whose signature changed (transformLink)
+        "id_sigs": id_sigs,
     }
     _mark("bloom_counts_done")
     keys = list(_t.keys())

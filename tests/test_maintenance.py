@@ -135,3 +135,38 @@ def test_requeue_candidates_dedupes_failed_then_retry(spark):
     flog = spark.createDataFrame(rows, schema.FETCH_LOG)
     cand = mt.requeue_candidates(flog).collect()
     assert sorted(r["url_hash"] for r in cand) == ["u1", "u2"]
+
+
+def test_requeue_data_lack_refetches(spark, tmp_path):
+    """Seed a page whose extraction lacks a required field (data_lack,
+    extractor.js:281-291); requeue_failures(include_lack=True) puts it back
+    in the frontier and the next round re-fetches it (queue-helper.js:99-162
+    incomplete:data:url re-queue)."""
+    url = "http://www.lk.test/weixin_1.html"
+    rule = {
+        "domain": "lk.test", "alias": "page",
+        "url_pattern": r"weixin_[0-9]+\.html",
+        "type": "node", "format": "html",
+        "priority": 1, "weight": 10, "schedule_interval": 86400,
+        "active": True, "seed": [url], "schedule_rule": "FIFO",
+        "drill_rules": [],
+        "extract_rule": {"require": ["body"], "rule": {
+            "body": {"mode": "css", "expression": "#nope", "pick": "text", "index": 1},
+        }},
+    }
+    html = ("<html><body>" + "x" * 600 + "</body></html>").encode()
+    pages = spark.createDataFrame([(url, None, html, "t", "en")], schema.PAGES)
+    cat = Catalog(tmp_path / "wh")
+    c = CrawlContext(spark, cat, load_rules([rule]), pages, None,
+                     settings={"buckets": 4, "bloom_keys_per_bucket": 100})
+    run_rounds(c, 1)
+    flog = cat.read(spark, "fetch_log", schema.FETCH_LOG)
+    assert [r["reason"] for r in flog.collect()] == ["data_lack"]
+
+    # not a failure: the default requeue ignores it
+    assert mt.requeue_failures(spark, cat, buckets=4) == 0
+    # the data-lack requeue re-queues it
+    assert mt.requeue_failures(spark, cat, buckets=4, include_lack=True) == 1
+    run_rounds(c, 1)
+    flog2 = cat.read(spark, "fetch_log", schema.FETCH_LOG)
+    assert flog2.where("status = 'fetched'").count() == 2  # re-fetched
