@@ -280,9 +280,6 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # — a round-1 wave went 43s → 121s. The stats at the cut are worth the
     # stage-write job.)
 
-    def stg(name: str, df: DataFrame) -> DataFrame:
-        return cat.stage(spark, round_no, name, df)
-
     # ---------------- A1: seed reschedule (scheduler/index.js:163-198)
     first_sched = dict(state.get("first_schedule", {}))
     seed_rows = []
@@ -394,8 +391,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "url_hash", F.col("referer").alias("h_referer"),
         F.col("drill_relation").alias("h_relation"), F.col("version").alias("h_version"),
     )
-    new_sched = stg(
-        "new_sched",
+    # new_sched is NOT staged on its own (r2 ran a dedicated write job per
+    # round): it rides INTO the gated stage below tagged is_new, and every
+    # post-gate consumer (upd_sched, mid-round overlay, seed_new) reads it
+    # back as gated.where(is_new) — one materialization covers both frames.
+    # The hydrate join and quota-pop projection evaluate exactly once, inside
+    # the gated write, reading the already-staged fr2 parquet.
+    new_sched_plan = (
         sched_seeds.unionByName(sched_quota)
         .join(hydrate, "url_hash", "left")  # spider.js:221-241 hydration
         .select(
@@ -408,9 +410,11 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             F.when(F.col("is_seed"), F.lit(round_ts)).otherwise(F.col("h_version"))
             .alias("version"),
             "is_seed",
-        ),
+        )
     )
-    queue = scheduled.unionByName(new_sched.drop("is_seed"))
+    queue = scheduled.withColumn("is_seed", F.lit(False)).withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(new_sched_plan.withColumn("is_new", F.lit(True)))
 
     # ---------------- B1: politeness gate (north_rule; no reference analog)
     # ONE staged frame carries the whole gate outcome (allowed + in_budget +
@@ -456,6 +460,10 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
     batch = gated.where("disp = 'batch'").drop("allowed", "in_budget", "disp")
     denied = gated.where("disp = 'denied'").select("url_hash", "url", "rule_key", "host", "seq")
+    new_sched = gated.where("is_new").select(
+        "url_hash", "url", "rule_key", "host", "seq", "retry", "referer",
+        "drill_relation", "version", "is_seed",
+    )
     _mark("batch_done")
 
     # ---------------- B2: fetch = batch ⋈ pages (the corpus-as-network join)
@@ -777,10 +785,30 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         for c in [(r.get("extract_rule") or {}).get("category")] if c
     })
     cat_col = F.element_at(F.col("extracted"), "$category")
-    crawled_base = (
-        crawled.where(cat_col.isNull() | ~cat_col.isin(categories))
-        if categories else crawled
-    )
+    # With categories configured, ALL crawled tables commit from ONE write:
+    # the content frame is staged partitioned by routed category (no
+    # reshuffle) and each table adopts its partition's files driver-side —
+    # r2 ran one append job per category table per round.
+    cat_snaps: dict[str, int] = {}
+
+    def _commit_crawled():
+        if not categories:
+            return cat.commit("crawled", crawled, mode="append", round_no=round_no)
+        routed = F.when(cat_col.isin(categories), cat_col).otherwise(F.lit("__base__"))
+        cat.stage(spark, round_no, "crawled_out",
+                  crawled.withColumn("p_cat", routed),
+                  partition_by=["p_cat"], shuffle=False)
+        for c in categories:
+            cat_snaps[f"crawled_{c}"] = cat.commit_files(
+                f"crawled_{c}",
+                cat.stage_partition_files(round_no, "crawled_out", p_cat=c),
+                mode="append", round_no=round_no,
+            )
+        return cat.commit_files(
+            "crawled",
+            cat.stage_partition_files(round_no, "crawled_out", p_cat="__base__"),
+            mode="append", round_no=round_no,
+        )
 
     flog = (
         ex.select(
@@ -885,14 +913,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
             replaced_partitions={"pbucket": bloom_touched},
         ),
-        "crawled": lambda: cat.commit("crawled", crawled_base, mode="append", round_no=round_no),
-        **{
-            f"crawled_{c}": (lambda c=c: cat.commit(
-                f"crawled_{c}", crawled.where(cat_col == c), mode="append",
-                round_no=round_no,
-            ))
-            for c in categories
-        },
+        "crawled": _commit_crawled,
         "fetch_log": lambda: cat.commit(
             "fetch_log", flog_partitioned, mode="append", round_no=round_no,
             partition_by=["p_status", "p_domain"],
@@ -910,6 +931,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         futures = {name: pool.submit(_timed, fn) for name, fn in commit_plan.items()}
         res = {name: fut.result() for name, fut in futures.items()}
     snaps = {name: r[0] for name, r in res.items()}
+    snaps.update(cat_snaps)  # category tables committed inside _commit_crawled
     commit_s = {name: r[1] for name, r in res.items()}
     # metrics = footer rollup of the fetch_log commit just made — no Spark job
     snaps["metrics"], status_counts = _commit_metrics_from_flog(cat, round_no, round_ts)
