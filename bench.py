@@ -8,7 +8,7 @@ local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
 
   {"metric": "...", "value": N, "unit": "...", "queries": {...}, "sf": ...}
 
---scaling mode: run the SAME crawl job at local[8] and local[32] (N vs 4N
+--scaling mode: run the SAME crawl job at local[4] and local[16] (N vs 4N
 cores — the sandbox stand-in for the north_rule's two-cluster-size run) and
 report throughput at both plus scaling efficiency into BENCH/BASELINE.md.
 Run each level in a separate process (spark masters can't be swapped in-JVM):
@@ -44,7 +44,7 @@ BENCH_PARAMS = dict(n_domains=4, cats=6, lists_per_cat=8,
 # express; full decomposition in BENCH/BASELINE.md.
 SCALING_CORES = (4, 16)
 SCALING_PARAMS = dict(n_domains=4, cats=8, lists_per_cat=64,
-                      details_per_list=320, hot_details_per_list=1400,
+                      details_per_list=400, hot_details_per_list=1700,
                       seed_all_lists=True, save_pages=False)
 SCALING_SETTINGS = {"schedule_quantity_limitation": 2_000_000, "buckets": 32,
                     "bloom_keys_per_bucket": 50_000,

@@ -283,10 +283,58 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter / (sa.sz + sb.sz - inter) >= {JACCARD_MIN}
 """
 
+# ------------------------------------------------- embedding-cosine near-dup
+COS_THRESH = 0.35  # synthetic 64-d embeddings: random-pair cosine ~N(0, 1/8)
+
+
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the `embeddings` table: candidate
+    pruning via the coarse sign-bit cell (the ann_ivf_bucket quantizer —
+    near-identical vectors agree on leading-dim signs), exact double-precision
+    cosine within the cell, pairs at >= COS_THRESH. Approximate by
+    construction (cross-cell near-dups are missed); the oracle applies the
+    IDENTICAL cell rule so the gate compares semantics, not recall. Scale
+    shape: equi self-join on cell — no all-pairs scan; at 10^10 vectors swap
+    the 3-bit cell for the k-means quantizer (ivf_kmeans_cells) and keep the
+    same join."""
+    from .similarity import _cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    cell = (
+        (F.expr("cast(element_at(embedding, 1) > 0 as int)") * 4)
+        + (F.expr("cast(element_at(embedding, 2) > 0 as int)") * 2)
+        + F.expr("cast(element_at(embedding, 3) > 0 as int)")
+    )
+    e = emb.withColumn("cell", cell)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ae"), "cell")
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("be"), "cell")
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", _cosine("ae", "be"))
+        .where(F.col("cos") >= COS_THRESH)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+SQL_DEDUP_EMBED_COSINE = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
+         + (embedding[3] > 0)::INT AS cell
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COS_THRESH}
+"""
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embed_cosine": (q_dedup_embed_cosine, SQL_DEDUP_EMBED_COSINE),
 }

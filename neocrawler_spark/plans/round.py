@@ -467,21 +467,32 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     _mark("batch_done")
 
     # ---------------- B2: fetch = batch ⋈ pages (the corpus-as-network join)
-    # The batch side broadcasts (INNER join) so the html payload NEVER enters
-    # a shuffle: the corpus is a pure streaming scan probed by a hash table
-    # of this round's quota-bounded batch. (Measured: the old left join
-    # planned as SMJ and spilled the multi-GB html column through shuffle
-    # disk — on a 123 MB/s sandbox disk that serialized the whole wave; on a
-    # real cluster it's shuffle traffic that dwarfs the batch.) Fetch MISSES
-    # are recovered after extraction by an anti-join against the staged
-    # result (see below) — build side bounded by the batch, never the corpus.
-    # At 10^10-frontier scale with multi-10^7-row batches, swap the broadcast
-    # for a bucket-co-located join on url (both sides bucketed) — the
-    # broadcast ceiling is a config concern, not a plan-shape change.
+    # Join strategy is BATCH-SIZE-ADAPTIVE (driver-sized from manifests):
+    # * small batches broadcast (INNER join): the corpus is a pure streaming
+    #   scan probed by a hash table of the quota-bounded batch — the html
+    #   payload never enters a shuffle, and the broadcast is cheap.
+    # * large waves use a SHUFFLE_HASH join instead: a broadcast's
+    #   driver-side collect + hash-relation build is SINGLE-THREADED O(batch)
+    #   — measured as the dominant per-round floor term at the 1.2M-URL
+    #   scaling wave (~50 s/round core-count-independent; r3). The shuffle
+    #   moves that cost into the parallel slope: html rows shuffle once,
+    #   hash-partitioned — and SHUFFLE_HASH (not SMJ) avoids sorting them.
+    #   At 10^10-frontier prod scale the same threshold logic picks the
+    #   co-located path: both sides bucketed by url in the catalog makes
+    #   this a storage-partitioned join (no shuffle at all).
+    # include the scheduled backlog in the estimate: the fetch wave is
+    # queue = scheduled ∪ new_sched, so a backlog-dominated round
+    # (balance≈0) is still a large wave (r2 ADVICE)
+    approx_batch = min(balance, _frontier_rows) + len(seed_rows) + backlog
+    small_batch = approx_batch < st.get("fetch_broadcast_limit", 100_000)
     if ctx.download_hook is not None:
         fetched = ctx.download_hook(batch, ctx.pages)
-    else:
+    elif small_batch:
         fetched = ctx.pages.select("url", "html").join(F.broadcast(batch), "url", "inner")
+    else:
+        fetched = ctx.pages.select("url", "html").join(
+            batch.hint("SHUFFLE_HASH"), "url", "inner"
+        )
     fv = (
         fetched.join(F.broadcast(rules_df), "rule_key", "left")
         # validation reads content decoded per the RULE's encoding (the
@@ -516,12 +527,14 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # plentiful exactly when the wave is large (spark.sql.files.
     # maxPartitionBytes=64m in session.py keeps scan splits ≈ 2×cores for
     # multi-GB corpora).
-    # include the scheduled backlog: the fetch wave is queue = scheduled ∪
-    # new_sched, so a backlog-dominated round (balance≈0) is still a large
-    # wave — without this term it would repartition multi-GB html into ~1 task
-    approx_batch = min(balance, _frontier_rows) + len(seed_rows) + backlog
-    par = max(1, min(spark.sparkContext.defaultParallelism * 2,
-                     approx_batch // 300 + 1))
+    # ~100 pages/task, floored at the core count once there's at least one
+    # page per core: hub-heavy rounds (few pages, hundreds of links each)
+    # must still fan out across all cores — r3 measured the old 300/task
+    # sizing capping a 1589-hub round at 7 tasks at any core count
+    dpar = spark.sparkContext.defaultParallelism
+    par = max(1, min(dpar * 2,
+                     max(approx_batch // 100 + 1,
+                         dpar if approx_batch >= dpar else 1)))
     fv_par = fv.repartition(par, F.col("url_hash")) if approx_batch < 50_000 else fv
     save_page_keys = [r["key"] for r in ctx.rules
                       if r.get("save_page") or r["format"] == "binary"]
@@ -552,8 +565,13 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # anti-join's build side is bounded by the batch, never the corpus.
     # (download_hook may return left-join semantics with null-html rows;
     # those already sit in exres as missing and the anti-join adds nothing.)
+    # anti-join build side bounded by the batch, never the corpus; broadcast
+    # only below the same threshold as the fetch join (the driver-side hash
+    # build is O(batch) single-threaded — slim shuffle otherwise)
+    _exres_keys = exres.select("url_hash")
     missing_rows = (
-        batch.join(F.broadcast(exres.select("url_hash")), "url_hash", "left_anti")
+        batch.join(F.broadcast(_exres_keys) if small_batch else _exres_keys,
+                   "url_hash", "left_anti")
         .join(F.broadcast(rules_df.select("rule_key", "rule_type", "is_binary")),
               "rule_key", "left")
         .select(
@@ -633,13 +651,32 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
     _mark("pe_done")
 
+    # Discovery seq is ARITHMETIC, not a per-rule row_number over every
+    # discovered link (r3: that window sorted the hot rule's whole discovery
+    # wave — 60% of a 1.5M-link round — in ONE task, a core-count-independent
+    # floor). Ordering (parent pop order, then link position on the page) is
+    # preserved by ranking only the DISTINCT PARENT PAGES per rule (hub
+    # pages: orders of magnitude fewer than links) and composing
+    # seq = base + parent_rank·2^14 + pos. pos is capped at 2^14-1 (a page
+    # with >16384 admitted links would tie beyond that — far above any real
+    # page); parent_rank < 2^18 per rule per round keeps the composite
+    # inside the rank-255 stride.
+    adm = pe.where(F.col("d_new") | F.col("d_requeue"))
+    parent_rank = (
+        adm.select("rule_key", "parent_seq").distinct()
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.partitionBy("rule_key").orderBy("parent_seq")) - 1,
+        )
+    )
     frontier_append = (
-        pe.where(F.col("d_new") | F.col("d_requeue"))
+        adm.join(parent_rank, ["rule_key", "parent_seq"])
         .withColumn(
             "seq",
             F.lit(seq_base) + F.lit(DISC_RANK * RANK_STRIDE)
-            + F.row_number().over(
-                Window.partitionBy("rule_key").orderBy("parent_seq", "pos")),
+            + F.col("_prank") * F.lit(1 << 14)
+            + F.least(F.col("pos"), F.lit((1 << 14) - 1)),
         )
         .select("url_hash", "url", "rule_key", "host", "seq",
                 F.lit(round_ts).alias("discovered_ts"), "bucket")
