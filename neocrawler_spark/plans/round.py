@@ -359,8 +359,18 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # the popped=false files driver-side (commit_files hardlink + manifest)
     # instead of re-writing the surviving frontier through a second Spark job
     # — at wave scale that job re-wrote the whole remaining frontier.
-    fr2 = cat.stage(spark, round_no, "fr2", consume_quota(fr, ct_df, ctx.lifo),
-                    partition_by=["popped"], shuffle=False)
+    fr2_plan = consume_quota(fr, ct_df, ctx.lifo)
+    if _frontier_rows == 0:
+        # empty frontier (manifest-known, no job): the quota machinery would
+        # still run ~7 AQE sub-jobs over zero rows at ~2s of pure driver
+        # latency each (r3 event-log measurement) — stage an empty frame
+        # with the identical schema instead
+        fr2 = cat.stage(spark, round_no, "fr2",
+                        spark.createDataFrame([], fr2_plan.schema),
+                        partition_by=["popped"], shuffle=False)
+    else:
+        fr2 = cat.stage(spark, round_no, "fr2", fr2_plan,
+                        partition_by=["popped"], shuffle=False)
     popped_bounds = (
         fr2.where("popped").groupBy("rule_key")
         .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect()
@@ -542,8 +552,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         "url_hash", "url", "rule_key", "host", "seq", "retry", "referer",
         "drill_relation", "version", "rule_type", "is_binary",
     ]
-    exres = cat.stage(
-        spark, round_no, "exres",
+    exres_plan = (
         fv_par
         .withColumn(
             "ex",
@@ -558,8 +567,16 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             (F.when(F.col("valid") & F.col("rule_key").isin(save_page_keys), F.col("html"))
              if save_page_keys else F.lit(None).cast("binary")).alias("page_content"),
             "ex",
-        ),
+        )
     )
+    # batch emptiness is footer-known from the gated stage: a converged round
+    # (nothing to fetch) must not pay the corpus-scan fetch join
+    batch_rows = cat.stage_rows(round_no, "gated", disp="batch")
+    if batch_rows == 0 and ctx.download_hook is None:
+        exres = cat.stage(spark, round_no, "exres",
+                          spark.createDataFrame([], exres_plan.schema))
+    else:
+        exres = cat.stage(spark, round_no, "exres", exres_plan)
     # Fetch misses (batch rows with no corpus page) are absent from the
     # inner fetch join — recover them against the STAGED result so the
     # anti-join's build side is bounded by the batch, never the corpus.
@@ -827,8 +844,19 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # reshuffle) and each table adopts its partition's files driver-side —
     # r2 ran one append job per category table per round.
     cat_snaps: dict[str, int] = {}
+    # footer-known emptiness (no jobs): a round with no extraction output
+    # and no denials appends NOTHING to the content/log tables — skip those
+    # Spark writes entirely (empty-delta snapshots via commit_files([]))
+    ex_rows = cat.stage_rows(round_no, "exres")
+    denied_rows = cat.stage_rows(round_no, "gated", disp="denied")
+    flog_empty = ex_rows == 0 and batch_rows == 0 and denied_rows == 0
 
     def _commit_crawled():
+        if ex_rows == 0 and ctx.pipeline_hook is None:
+            for c in categories:
+                cat_snaps[f"crawled_{c}"] = cat.commit_files(
+                    f"crawled_{c}", [], mode="append", round_no=round_no)
+            return cat.commit_files("crawled", [], mode="append", round_no=round_no)
         if not categories:
             return cat.commit("crawled", crawled, mode="append", round_no=round_no)
         routed = F.when(cat_col.isin(categories), cat_col).otherwise(F.lit("__base__"))
@@ -906,14 +934,17 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         # popped=false partition files into the snapshot (driver-side
         # hardlink + footer scan — the extra working columns in those files
         # are invisible through the FRONTIER-schema read), then APPEND this
-        # round's discoveries as the only Spark write. Net: the old
-        # whole-frontier rewrite job is gone; prod keeps the same shape with
-        # consumed-interval metadata instead of the adopt-overwrite.
-        cat.commit_files(
+        # round's discoveries as the only Spark write — skipped outright
+        # when the pe stage is footer-known empty (no discovery). Prod keeps
+        # the same shape with consumed-interval metadata instead of the
+        # adopt-overwrite.
+        snap = cat.commit_files(
             "frontier",
             cat.stage_partition_files(round_no, "fr2", popped="false"),
             round_no=round_no,
         )
+        if cat.stage_rows(round_no, "pe") == 0:
+            return snap
         return cat.commit(
             "frontier", frontier_append.select(*frontier_cols),
             mode="append", round_no=round_no,
@@ -935,25 +966,46 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             "scheduled", cat.stage_partition_files(round_no, "gated", disp="left"),
             round_no=round_no,
         ),
-        "url_state": lambda: cat.commit(
-            "url_state", merged.withColumn("pbucket", F.col("bucket")),
-            mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
-            replaced_partitions={"pbucket": touched_buckets},
-            # split hot buckets across files only once buckets are big enough
-            # for writer parallelism to matter — at small state the extra
-            # files just cost footer scans (measured +1-2s/commit)
-            split_col="url_hash",
-            files_per_partition=4 if _state_rows > 2_000_000 else 1,
+        # no touched buckets (footer-known) → carry the parent snapshot
+        # forward with a driver-side empty-delta commit, no Spark job
+        "url_state": lambda: (
+            cat.commit_files("url_state", [], mode="append", round_no=round_no)
+            if not touched_buckets else
+            cat.commit(
+                "url_state", merged.withColumn("pbucket", F.col("bucket")),
+                mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
+                replaced_partitions={"pbucket": touched_buckets},
+                # split hot buckets across files only once buckets are big
+                # enough for writer parallelism to matter — at small state
+                # the extra files just cost footer scans (measured
+                # +1-2s/commit)
+                split_col="url_hash",
+                files_per_partition=4 if _state_rows > 2_000_000 else 1,
+            )
         ),
-        "bloom": lambda: cat.commit(
-            "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
-            mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
-            replaced_partitions={"pbucket": bloom_touched},
+        "bloom": lambda: (
+            cat.commit_files("bloom", [], mode="append", round_no=round_no)
+            if not bloom_touched else
+            cat.commit(
+                "bloom", shards_new.withColumn("pbucket", F.col("bucket")),
+                mode="overwrite-partitions", round_no=round_no, partition_by=["pbucket"],
+                replaced_partitions={"pbucket": bloom_touched},
+            )
         ),
         "crawled": _commit_crawled,
-        "fetch_log": lambda: cat.commit(
-            "fetch_log", flog_partitioned, mode="append", round_no=round_no,
-            partition_by=["p_status", "p_domain"],
+        "fetch_log": lambda: (
+            cat.commit_files("fetch_log", [], mode="append", round_no=round_no)
+            if flog_empty else
+            cat.commit(
+                "fetch_log", flog_partitioned, mode="append", round_no=round_no,
+                partition_by=["p_status", "p_domain"],
+                # status×domain is ~8 values — without the salt the wave's
+                # flog repartition collapses to 8 writer tasks at ANY core
+                # count (measured 1.8x 4→16); footer-derived metrics sum rows
+                # across a partition's files, so extra files cost nothing
+                split_col="url_hash",
+                files_per_partition=max(4, spark.sparkContext.defaultParallelism // 4),
+            )
         ),
     }
     _mark("pre_commit")

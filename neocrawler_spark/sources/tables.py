@@ -345,6 +345,17 @@ class Catalog:
             return []
         return sorted(base.rglob("*.parquet"))
 
+    def stage_rows(self, round_no: int, name: str, **partition_values: str) -> int:
+        """Row count of a stage (or one partition of it) from parquet
+        footers, driver-side — no Spark job. Lets the round skip whole
+        commit/append jobs whose input is provably empty."""
+        base = self.root / "_stages" / f"r{round_no:08d}" / name
+        for k, v in partition_values.items():
+            base = base / f"{k}={v}"
+        if not base.exists():
+            return 0
+        return sum(f["rows"] for f in self._scan_paths(sorted(base.rglob("*.parquet"))))
+
     def stage_partition_values(self, round_no: int, name: str) -> list[dict]:
         """Distinct partition-column value combos of a partitioned stage,
         parsed from its hive-style directory names — no Spark job."""
