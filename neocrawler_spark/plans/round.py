@@ -999,12 +999,16 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
             cat.commit(
                 "fetch_log", flog_partitioned, mode="append", round_no=round_no,
                 partition_by=["p_status", "p_domain"],
-                # status×domain is ~8 values — without the salt the wave's
+                # status×domain is ~8 values — without the salt a WAVE's
                 # flog repartition collapses to 8 writer tasks at ANY core
                 # count (measured 1.8x 4→16); footer-derived metrics sum rows
-                # across a partition's files, so extra files cost nothing
+                # across a partition's files. Small rounds skip the salt —
+                # there the extra files are pure footer-scan overhead.
                 split_col="url_hash",
-                files_per_partition=max(4, spark.sparkContext.defaultParallelism // 4),
+                files_per_partition=(
+                    max(4, spark.sparkContext.defaultParallelism // 4)
+                    if batch_rows > 100_000 else 1
+                ),
             )
         ),
     }
