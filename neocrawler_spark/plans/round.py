@@ -540,11 +540,15 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # ~100 pages/task, floored at the core count once there's at least one
     # page per core: hub-heavy rounds (few pages, hundreds of links each)
     # must still fan out across all cores — r3 measured the old 300/task
-    # sizing capping a 1589-hub round at 7 tasks at any core count
+    # sizing capping a 1589-hub round at 7 tasks at any core count. Rounded
+    # UP to a multiple of the core count: 21 tasks on 16 cores is a 1.3-wave
+    # straggler tail; 32 is two clean waves.
     dpar = spark.sparkContext.defaultParallelism
     par = max(1, min(dpar * 2,
                      max(approx_batch // 100 + 1,
                          dpar if approx_batch >= dpar else 1)))
+    if par > dpar:
+        par = dpar * ((par + dpar - 1) // dpar)
     fv_par = fv.repartition(par, F.col("url_hash")) if approx_batch < 50_000 else fv
     save_page_keys = [r["key"] for r in ctx.rules
                       if r.get("save_page") or r["format"] == "binary"]
@@ -591,18 +595,22 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
                    "url_hash", "left_anti")
         .join(F.broadcast(rules_df.select("rule_key", "rule_type", "is_binary")),
               "rule_key", "left")
-        .select(
-            *slim_cols,
-            F.lit(False).alias("valid"), F.lit(True).alias("missing"),
-            F.lit(None).cast("binary").alias("page_content"),
-            F.lit(None).cast(exres.schema["ex"].dataType).alias("ex"),
-        )
+        .select(*slim_cols, F.lit(True).alias("missing"))
     )
-    exres = exres.unionByName(missing_rows)
+    # ex reads the STAGED parquet directly (valid rows only — misses are
+    # never valid, so they need not ride along); `failed` is slim-column.
+    # Round 2 unioned missing_rows INTO exres with a null ex struct, and the
+    # union defeated nested-schema pruning: every consumer — including the
+    # fetch_log commit that needs only size(ex.lacks) — decoded the FULL ex
+    # struct (all extracted fields + arranged links) off parquet, measured
+    # 725 task-CPU-seconds per wave round in the flog write alone.
     ex = exres.where("valid")
     if ctx.extract_hook is not None:
         ex = ctx.extract_hook(ex)
-    failed = exres.where(~F.col("valid")).select(*slim_cols, "missing")
+    failed = (
+        exres.where(~F.col("valid")).select(*slim_cols, "missing")
+        .unionByName(missing_rows)
+    )
     _mark("ex_done")
 
     # ---------------- B4: discovery (pipeline.save_links:66-222)
