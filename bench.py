@@ -44,7 +44,7 @@ BENCH_PARAMS = dict(n_domains=4, cats=6, lists_per_cat=8,
 # express; full decomposition in BENCH/BASELINE.md.
 SCALING_CORES = (4, 16)
 SCALING_PARAMS = dict(n_domains=4, cats=8, lists_per_cat=64,
-                      details_per_list=400, hot_details_per_list=1700,
+                      details_per_list=640, hot_details_per_list=2700,
                       seed_all_lists=True, save_pages=False)
 SCALING_SETTINGS = {"schedule_quantity_limitation": 2_000_000, "buckets": 32,
                     "bloom_keys_per_bucket": 50_000,
