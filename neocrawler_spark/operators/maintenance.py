@@ -69,25 +69,36 @@ def current_lack(fetch_log: DataFrame) -> DataFrame:
 
 
 def requeue_candidates(fetch_log: DataFrame, include_stuck: bool = True,
-                       include_lack: bool = False) -> DataFrame:
+                       include_lack: bool = False,
+                       include_fail: bool = True) -> DataFrame:
     """fail set ∪ stuck set (∪ data-lack set), one row per url_hash. A url
     whose log ends [..., failed, retry] (requeued failure crashed mid-retry)
     is in BOTH the fail and stuck sets — latest terminal = failed, latest
     overall = retry — so the union dedupes on url_hash (r2 ADVICE: the raw
     union double-requeued it). include_lack mirrors queue-helper's
-    incomplete:data:url re-queue (tools/queue-helper.js:99-162)."""
-    fails = current_failures(fetch_log)
+    incomplete:data:url re-queue (tools/queue-helper.js:99-162);
+    include_fail=False selects the stuck/lack sets alone (the driver loop's
+    requeue_lack policy re-queues ONLY incomplete pages each round)."""
+    parts = []
+    if include_fail:
+        parts.append(current_failures(fetch_log))
     if include_stuck:
-        fails = fails.unionByName(current_stuck(fetch_log))
+        parts.append(current_stuck(fetch_log))
     if include_lack:
-        fails = fails.unionByName(current_lack(fetch_log))
-    if include_stuck or include_lack:
-        fails = fails.dropDuplicates(["url_hash"])
-    return fails
+        parts.append(current_lack(fetch_log))
+    if not parts:
+        raise ValueError("requeue_candidates: nothing selected")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if len(parts) > 1:
+        out = out.dropDuplicates(["url_hash"])
+    return out
 
 
 def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
-                     include_stuck: bool = True, include_lack: bool = False) -> int:
+                     include_stuck: bool = True, include_lack: bool = False,
+                     include_fail: bool = True) -> int:
     """Append the live fail set (and, like the reference's queue helper, the
     stuck set) back into the frontier (queue-helper re-queue). Returns the
     number of re-queued URLs. Resets their url_state status to 'hit' so the
@@ -96,7 +107,7 @@ def requeue_failures(spark: SparkSession, catalog: Catalog, buckets: int = 64,
     from ..functions import canon
 
     flog = catalog.read(spark, "fetch_log", schema.FETCH_LOG)
-    fails = requeue_candidates(flog, include_stuck, include_lack)
+    fails = requeue_candidates(flog, include_stuck, include_lack, include_fail)
     frontier = catalog.read(spark, "frontier", schema.FRONTIER)
     url_state = catalog.read(spark, "url_state", schema.URL_STATE)
 

@@ -20,12 +20,27 @@ from ..plans.round import CrawlContext, load_state, run_round
 
 def run_rounds(ctx: CrawlContext, n_rounds: int, verbose: bool = False) -> list[dict]:
     """Run up to n_rounds crawl rounds, resuming from the last completed one.
-    Returns per-round metrics."""
+    Returns per-round metrics.
+
+    Round policy `settings={"requeue_lack": True}`: after every round, pages
+    whose latest fetch extracted with missing required fields (reason=
+    'data_lack') are re-queued into the frontier and their state reset so the
+    next round re-fetches them — the driver-loop analog of the reference's
+    operator-invoked incomplete:data:url queue helper
+    (/root/reference/tools/queue-helper.js:99-162). Off by default: the
+    reference leaves lack pages parked until an operator intervenes."""
     state = load_state(ctx.catalog)
     out = []
     for _ in range(n_rounds):
         t0 = time.time()
         state = run_round(ctx, state)
+        if ctx.settings.get("requeue_lack"):
+            from ..operators.maintenance import requeue_failures
+
+            requeue_failures(
+                ctx.spark, ctx.catalog, buckets=ctx.settings["buckets"],
+                include_fail=False, include_stuck=False, include_lack=True,
+            )
         rec = ctx.catalog.last_completed_round()
         m = rec["metrics"]["round_metrics"]
         m["wall_s"] = time.time() - t0

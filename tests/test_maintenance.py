@@ -170,3 +170,41 @@ def test_requeue_data_lack_refetches(spark, tmp_path):
     run_rounds(c, 1)
     flog2 = cat.read(spark, "fetch_log", schema.FETCH_LOG)
     assert flog2.where("status = 'fetched'").count() == 2  # re-fetched
+
+
+def test_requeue_lack_round_policy_knob(spark, tmp_path):
+    """settings={"requeue_lack": True} wires the data_lack re-queue into the
+    driver loop itself (r3 VERDICT #8): a page extracted with missing
+    required fields is re-fetched in a later round with NO operator call."""
+    url = "http://www.lk2.test/weixin_1.html"
+    rule = {
+        "domain": "lk2.test", "alias": "page",
+        "url_pattern": r"weixin_[0-9]+\.html",
+        "type": "node", "format": "html",
+        "priority": 1, "weight": 10, "schedule_interval": 86400,
+        "active": True, "seed": [url], "schedule_rule": "FIFO",
+        "drill_rules": [],
+        "extract_rule": {"require": ["body"], "rule": {
+            "body": {"mode": "css", "expression": "#nope", "pick": "text", "index": 1},
+        }},
+    }
+    html = ("<html><body>" + "x" * 600 + "</body></html>").encode()
+    pages = spark.createDataFrame([(url, None, html, "t", "en")], schema.PAGES)
+    cat = Catalog(tmp_path / "wh")
+    c = CrawlContext(spark, cat, load_rules([rule]), pages, None,
+                     settings={"buckets": 4, "bloom_keys_per_bucket": 100,
+                               "requeue_lack": True})
+    run_rounds(c, 2)
+    flog = cat.read(spark, "fetch_log", schema.FETCH_LOG)
+    rows = sorted((r["round"], r["status"], r["reason"]) for r in flog.collect())
+    # round 1 fetches + flags data_lack; the knob re-queues it; round 2
+    # re-fetches the same page (still lacking — the corpus is static)
+    assert rows == [(1, "fetched", "data_lack"), (2, "fetched", "data_lack")]
+
+    # knob off: round 2 never re-fetches
+    cat2 = Catalog(tmp_path / "wh2")
+    c2 = CrawlContext(spark, cat2, load_rules([rule]), pages, None,
+                      settings={"buckets": 4, "bloom_keys_per_bucket": 100})
+    run_rounds(c2, 2)
+    flog2 = cat2.read(spark, "fetch_log", schema.FETCH_LOG)
+    assert flog2.count() == 1
