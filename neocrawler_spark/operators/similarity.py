@@ -39,7 +39,7 @@ def _cosine(qe: str, ce: str):
     return dot / (nq * nc)
 
 
-def q_embed_cosine_topk(spark, sf_dir):
+def q_embed_cosine_topk(spark, sf_dir, top_k: int = TOP_K):
     """Exact brute-force cosine top-k for each query vector."""
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(f"vec_id < {N_QUERIES}").select(
@@ -52,7 +52,7 @@ def q_embed_cosine_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(f"rank <= {TOP_K}")
+        .where(f"rank <= {top_k}")
         .select("query_id", "neighbor_id", "rank")
     )
 
@@ -175,7 +175,7 @@ def ivf_kmeans_cells(spark, sf_dir, k: int = K_CELLS, iters: int = 1):
 
 
 def q_ann_ivf_kmeans(spark, sf_dir, k: int = K_CELLS, nprobe: int = NPROBE,
-                     iters: int = 1):
+                     iters: int = 1, top_k: int = TOP_K):
     """Data-dependent IVF (VERDICT r1 #4): `iters` deterministic Lloyd steps
     from fixed seed vectors, then nprobe-cell search — the relational
     expression of the FAISS-IVF plan shape:
@@ -213,7 +213,7 @@ def q_ann_ivf_kmeans(spark, sf_dir, k: int = K_CELLS, nprobe: int = NPROBE,
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(f"rank <= {TOP_K}")
+        .where(f"rank <= {top_k}")
         .select("query_id", "neighbor_id", "rank")
     )
 
