@@ -17,7 +17,9 @@ Run each level in a separate process (spark masters can't be swapped in-JVM):
 
 from __future__ import annotations
 
+import glob
 import json
+import multiprocessing
 import os
 import shutil
 import subprocess
@@ -68,6 +70,57 @@ BENCH_SETTINGS = {
 # noise waves uncorrelated with the job (single-thread cpu probe is steady
 # while multi-core walls swing), so a single-shot wall is not a measurement
 BENCH_CRAWL_RUNS = 2
+
+# ---------------------------------------------------------------- noise guard
+# r3 VERDICT #1/#2: every committed number must carry the evidence needed to
+# tell a code regression from host weather. Before each run we snapshot
+# /proc/loadavg and run two CPU probes; a run whose PRE-probe is inflated is
+# flagged "noisy" and retried — a BENCH_r*.json can no longer be ambiguous.
+# Calm-host calibration (this sandbox, 2026-08-17, loadavg ~1):
+#   single-thread 8M-iteration loop ~0.34-0.49 s (foreign load on ALL cores
+#   inflates it; measured 3x under 64 synthetic spinners); 24-process pool of
+#   the same loop ~0.52-0.82 s wall (machine-level contention inflates it
+#   even when one thread runs clean — the documented noise-wave signature;
+#   measured 2.2 s under the same synthetic load).
+PROBE_ST_ITERS = 8_000_000
+PROBE_ST_CALM_S = 0.45
+PROBE_MP_PROCS = 24
+PROBE_MP_CALM_S = 0.80
+NOISY_ST_RATIO = 1.55   # st probe > 0.70 s
+NOISY_MP_RATIO = 1.60   # mp probe > 1.28 s
+NOISY_LOADAVG_1M = 40.0  # catastrophic foreign load (own decay can reach ~16)
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i
+    return x
+
+
+def host_probe(mp_procs: int = PROBE_MP_PROCS) -> dict:
+    """Loadavg snapshot + single-thread and multi-process CPU probes."""
+    with open("/proc/loadavg") as f:
+        la = [float(x) for x in f.read().split()[:3]]
+    t0 = time.perf_counter()
+    _spin(PROBE_ST_ITERS)
+    st = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with multiprocessing.Pool(mp_procs) as pool:
+        pool.map(_spin, [PROBE_ST_ITERS] * mp_procs)
+    mp_s = time.perf_counter() - t0
+    return {
+        "loadavg_1m": la[0], "loadavg_5m": la[1], "loadavg_15m": la[2],
+        "st_probe_s": round(st, 3), "mp_probe_s": round(mp_s, 3),
+    }
+
+
+def probe_is_noisy(probe: dict) -> bool:
+    return (
+        probe["st_probe_s"] > PROBE_ST_CALM_S * NOISY_ST_RATIO
+        or probe["mp_probe_s"] > PROBE_MP_CALM_S * NOISY_MP_RATIO
+        or probe["loadavg_1m"] > NOISY_LOADAVG_1M
+    )
 
 HEADLINE_QUERIES = [
     "seen_probe_anti_join",
@@ -126,7 +179,9 @@ def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None
         "wall_s": round(wall, 3),
         "urls_per_sec": round(processed / wall, 2),
         "per_round": [
-            {"round": m["round"], "fetched": m["fetched"], "wall_s": round(m["wall_s"], 2)}
+            {"round": m["round"], "fetched": m["fetched"],
+             "wall_s": round(m["wall_s"], 2), "phase_s": m.get("phase_s"),
+             "commit_s": m.get("commit_s")}
             for m in metrics
         ],
     }
@@ -149,10 +204,21 @@ def bench_once(master: str, shuffle: int) -> dict:
     from neocrawler_spark.session import get_spark
 
     spark = get_spark("bench", master=master, shuffle_partitions=shuffle)
-    crawl = max((run_crawl(spark) for _ in range(BENCH_CRAWL_RUNS)),
-                key=lambda c: c["urls_per_sec"])
+    # best-of-N with a noise guard: each run records its PRE-run host probe;
+    # if every run was noisy, take one extra attempt, and the chosen number
+    # carries a top-level "noisy" flag either way (r3 VERDICT #2)
+    runs = []
+    for attempt in range(BENCH_CRAWL_RUNS + 1):
+        if attempt >= BENCH_CRAWL_RUNS and any(not r["noisy"] for r in runs):
+            break  # the extra attempt happens only when all runs were noisy
+        probe = host_probe()
+        c = run_crawl(spark)
+        runs.append({**c, "probe_pre": probe, "noisy": probe_is_noisy(probe)})
+    clean = [r for r in runs if not r["noisy"]]
+    crawl = max(clean or runs, key=lambda c: c["urls_per_sec"])
     queries = run_queries(spark)
-    return {"crawl": crawl, "queries": queries}
+    return {"crawl": crawl, "queries": queries, "crawl_runs": runs,
+            "noisy": crawl["noisy"]}
 
 
 def main():
@@ -170,14 +236,34 @@ def main():
         # in BENCH/BASELINE.md).
         shm = "/dev/shm/ncs_scaling"
         os.makedirs(shm, exist_ok=True)
+        evdir = f"{shm}/evlog-{cores}-{os.getpid()}"
+        os.makedirs(evdir, exist_ok=True)
+        probe_pre = host_probe()
         spark = get_spark("bench-scale", master=f"local[{cores}]", shuffle_partitions=cores,
-                          extra_conf={"spark.local.dir": f"{shm}/spark-local-{cores}"})
+                          extra_conf={"spark.local.dir": f"{shm}/spark-local-{cores}",
+                                      # per-stage cpu_s record: the noise
+                                      # discriminator (wall inflates under
+                                      # host weather, task cpu_s does not)
+                                      "spark.eventLog.enabled": "true",
+                                      "spark.eventLog.dir": evdir})
         try:
             crawl = run_crawl(spark, rounds=SCALING_ROUNDS, site_params=SCALING_PARAMS,
                               settings=SCALING_SETTINGS, wh_base=shm)
+            spark.stop()  # flush the event log before parsing it
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            from evlog_stages import evlog_totals
+
+            evs = sorted(glob.glob(f"{evdir}/*"))
+            evlog = evlog_totals(evs[-1]) if evs else None
         finally:
             shutil.rmtree(shm, ignore_errors=True)
-        print("SCALERESULT " + json.dumps({"cores": cores, **crawl}))
+        probe_post = host_probe()
+        print("SCALERESULT " + json.dumps({
+            "cores": cores, **crawl,
+            "probe_pre": probe_pre, "probe_post": probe_post,
+            "noisy": probe_is_noisy(probe_pre) or probe_is_noisy(probe_post),
+            "evlog": evlog,
+        }))
         return
 
     res = bench_once(f"local[{CPUS}]", CPUS)
@@ -185,20 +271,38 @@ def main():
         "metric": "urls_scheduled_extracted_per_sec",
         "value": res["crawl"]["urls_per_sec"],
         "unit": "urls/sec",
+        "noisy": res["noisy"],
         "queries": res["queries"],
         "sf": SF_DIR,
         "crawl": res["crawl"],
+        # every attempt with its pre-run host probe — the evidence that
+        # separates a regression from host weather (r3 VERDICT #2)
+        "crawl_runs": [
+            {"urls_per_sec": r["urls_per_sec"], "wall_s": r["wall_s"],
+             "noisy": r["noisy"], "probe_pre": r["probe_pre"]}
+            for r in res["crawl_runs"]
+        ],
     }
     print(json.dumps(line))
 
 
+SCALING_RUNS_TARGET = 3   # clean (non-noisy) runs wanted per level
+SCALING_MAX_ATTEMPTS = 5  # hard cap — a permanently-loud host still yields
+                          # an artifact, flagged noisy
+
+
 def scaling_orchestrate():
-    # best-of-2 per level: the shared sandbox host shows 1.5-2x run-to-run
-    # noise spikes (uncorrelated with the job); best-of-N is the standard
-    # one-box answer and is applied IDENTICALLY to both levels
-    results = {}
+    # best-of-N >= 3 CLEAN runs per level (r3 VERDICT #1): every attempt is
+    # recorded with its pre/post host probes + per-stage task-cpu totals;
+    # noisy attempts don't count toward the target and the chosen number is
+    # the best CLEAN run. Applied IDENTICALLY to both levels.
+    results: dict[int, dict] = {}
+    all_runs: dict[int, list] = {c: [] for c in SCALING_CORES}
     for cores in SCALING_CORES:
-        for attempt in range(2):
+        clean = 0
+        for attempt in range(SCALING_MAX_ATTEMPTS):
+            if clean >= SCALING_RUNS_TARGET:
+                break
             p = subprocess.run(
                 [sys.executable, __file__, "--single", str(cores)],
                 capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -206,11 +310,14 @@ def scaling_orchestrate():
             for ln in p.stdout.splitlines():
                 if ln.startswith("SCALERESULT "):
                     r = json.loads(ln[len("SCALERESULT "):])
-                    if cores not in results or r["urls_per_sec"] > results[cores]["urls_per_sec"]:
-                        results[cores] = r
-        if cores not in results:
+                    all_runs[cores].append(r)
+                    if not r["noisy"]:
+                        clean += 1
+        if not all_runs[cores]:
             print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
             raise SystemExit(f"scaling run at {cores} cores failed")
+        pool = [r for r in all_runs[cores] if not r["noisy"]] or all_runs[cores]
+        results[cores] = max(pool, key=lambda r: r["urls_per_sec"])
     lo, hi = SCALING_CORES
     t_lo, t_hi = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
     eff = (t_hi / t_lo) / (hi // lo)
@@ -222,7 +329,19 @@ def scaling_orchestrate():
     out = {f"local{lo}": results[lo], f"local{hi}": results[hi],
            "cores": [lo, hi],
            "scaling_efficiency": round(eff, 3),
-           "wave_round_efficiency": round((w_lo / w_hi) / (hi // lo), 3)}
+           "wave_round_efficiency": round((w_lo / w_hi) / (hi // lo), 3),
+           "noisy": results[lo]["noisy"] or results[hi]["noisy"],
+           "policy": {"clean_runs_target": SCALING_RUNS_TARGET,
+                      "max_attempts": SCALING_MAX_ATTEMPTS,
+                      "noise_gate": {"st_calm_s": PROBE_ST_CALM_S,
+                                     "mp_calm_s": PROBE_MP_CALM_S,
+                                     "st_ratio": NOISY_ST_RATIO,
+                                     "mp_ratio": NOISY_MP_RATIO}},
+           # every attempt, with probes + evlog cpu totals — the full record
+           "runs": {f"local{c}": [
+               {k: r.get(k) for k in ("urls_per_sec", "wall_s", "noisy",
+                                      "probe_pre", "probe_post", "evlog")}
+               for r in all_runs[c]] for c in SCALING_CORES}}
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(out, f, indent=2)

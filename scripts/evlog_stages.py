@@ -11,13 +11,13 @@ import sys
 from collections import defaultdict
 
 
-def main():
+def parse_evlog(path):
+    """Parse a Spark event log (file or rolling dir) into per-stage rows with
+    task metrics. Importable (bench.py records per-run totals from this)."""
     import glob
     import io
     import os
 
-    path = sys.argv[1]
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     if os.path.isdir(path):  # rolling eventlog_v2 dir
         files = sorted(
             glob.glob(os.path.join(path, "events_*")),
@@ -102,6 +102,26 @@ def main():
             "job": f"{jid}:{job_desc.get(jid, '')}",
         })
     rows.sort(key=lambda r: -(r["wall_s"] or 0))
+    return rows
+
+
+def evlog_totals(path) -> dict:
+    """Noise-discriminating totals: task cpu_s is robust to host wall noise
+    (trust cpu_s, not wall_s, when the host is loud)."""
+    rows = parse_evlog(path)
+    return {
+        "stages": len(rows),
+        "stage_wall_s": round(sum(r["wall_s"] or 0 for r in rows), 1),
+        "task_cpu_s": round(sum(r["cpu_s"] for r in rows), 1),
+        "gc_s": round(sum(r["gc_s"] for r in rows), 1),
+        "py_s": round(sum(r["py_s"] for r in rows), 1),
+    }
+
+
+def main():
+    path = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    rows = parse_evlog(path)
     total_wall = sum(r["wall_s"] or 0 for r in rows)
     total_cpu = sum(r["cpu_s"] for r in rows)
     total_gc = sum(r["gc_s"] for r in rows)
