@@ -140,10 +140,12 @@ HEADLINE_QUERIES = [
 
 
 def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None,
-              settings: dict | None = None, wh_base: str | None = None) -> dict:
+              settings: dict | None = None, wh_base: str | None = None,
+              bucketed_corpus: bool = False) -> dict:
     from neocrawler_spark import synth
     from neocrawler_spark.plans.round import CrawlContext
     from neocrawler_spark.rules import load_rules
+    from neocrawler_spark.sources.bucketed import write_bucketed_pages
     from neocrawler_spark.sources.tables import Catalog
     from neocrawler_spark.streaming.driver import run_rounds
 
@@ -151,10 +153,21 @@ def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None
     wh = tempfile.mkdtemp(prefix="ncs_bench_", dir=wh_base)
     try:
         # corpus lives on disk like a real pages table (untimed generation):
-        # the fetch join then reads parquet with pushdown, as in prod
+        # the fetch join then reads parquet with pushdown, as in prod.
+        # bucketed_corpus=True writes it as a bucketBy(url) table instead —
+        # the storage-partitioned fetch join (html never shuffles; the
+        # Iceberg-bucketed analog on a real cluster), sources/bucketed.py
         corpus_dir = f"{wh}/pages_corpus"
-        synth.gen_pages_df(spark, params).write.mode("overwrite").parquet(corpus_dir)
-        pages = spark.read.parquet(corpus_dir)
+        if bucketed_corpus:
+            # FIXED bucket count: a real table's layout doesn't change with
+            # cluster size, so both scaling levels must read the same files
+            pages = write_bucketed_pages(
+                spark, synth.gen_pages_df(spark, params), corpus_dir,
+                name=f"pages_bench_{os.getpid()}", n_buckets=32,
+            )
+        else:
+            synth.gen_pages_df(spark, params).write.mode("overwrite").parquet(corpus_dir)
+            pages = spark.read.parquet(corpus_dir)
         n_pages = pages.count()
 
         ctx = CrawlContext(
@@ -246,9 +259,15 @@ def main():
                                       # host weather, task cpu_s does not)
                                       "spark.eventLog.enabled": "true",
                                       "spark.eventLog.dir": evdir})
+        # bucketed corpus is the DEFAULT for the scaling wave: the fetch join
+        # reads pages through hashpartitioning(url)-reporting bucket files,
+        # so the html column never shuffles (A/B in BENCH/PLANS.md);
+        # NCS_SCALING_BUCKETED=0 re-runs the plain-parquet shape
+        bucketed = os.environ.get("NCS_SCALING_BUCKETED", "1") == "1"
         try:
             crawl = run_crawl(spark, rounds=SCALING_ROUNDS, site_params=SCALING_PARAMS,
-                              settings=SCALING_SETTINGS, wh_base=shm)
+                              settings=SCALING_SETTINGS, wh_base=shm,
+                              bucketed_corpus=bucketed)
             spark.stop()  # flush the event log before parsing it
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
             from evlog_stages import evlog_totals
@@ -259,7 +278,7 @@ def main():
             shutil.rmtree(shm, ignore_errors=True)
         probe_post = host_probe()
         print("SCALERESULT " + json.dumps({
-            "cores": cores, **crawl,
+            "cores": cores, **crawl, "bucketed_corpus": bucketed,
             "probe_pre": probe_pre, "probe_post": probe_post,
             "noisy": probe_is_noisy(probe_pre) or probe_is_noisy(probe_post),
             "evlog": evlog,

@@ -487,9 +487,11 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     #   scaling wave (~50 s/round core-count-independent; r3). The shuffle
     #   moves that cost into the parallel slope: html rows shuffle once,
     #   hash-partitioned — and SHUFFLE_HASH (not SMJ) avoids sorting them.
-    #   At 10^10-frontier prod scale the same threshold logic picks the
-    #   co-located path: both sides bucketed by url in the catalog makes
-    #   this a storage-partitioned join (no shuffle at all).
+    #   With a BUCKETED corpus (sources/bucketed.py: pass the bucketBy(url)
+    #   table as ctx.pages) even that shuffle disappears: the bucketed scan
+    #   reports hashpartitioning(url, n_buckets), so only the slim batch
+    #   side exchanges and html never moves — the storage-partitioned join
+    #   (tests/test_bucketed_join.py pins the plan; Iceberg analog at prod).
     # include the scheduled backlog in the estimate: the fetch wave is
     # queue = scheduled ∪ new_sched, so a backlog-dominated round
     # (balance≈0) is still a large wave (r2 ADVICE)
