@@ -89,6 +89,26 @@ PROBE_MP_CALM_S = 0.80
 NOISY_ST_RATIO = 1.55   # st probe > 0.70 s
 NOISY_MP_RATIO = 1.60   # mp probe > 1.28 s
 NOISY_LOADAVG_1M = 40.0  # catastrophic foreign load (own decay can reach ~16)
+# /proc/stat "steal" is jiffies the hypervisor ran someone ELSE while this VM
+# had runnable work — the one counter foreign co-tenant load cannot hide from
+# and our own load cannot inflate. Calm calibration (2026-08-17): 0.000% over
+# 5 s idle; the r3/r4 noise waves showed 15x task-CPU inflation on unchanged
+# work, i.e. steal far above any plausible self-induced number. Measured as a
+# PRE/POST DELTA ACROSS EACH RUN, so a wave that starts mid-run (which pre-run
+# probes cannot see) still flags the run.
+NOISY_STEAL_PCT = 2.0
+
+
+def read_cpu_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return vals[7], sum(vals)
+
+
+def steal_pct_between(pre: tuple[int, int], post: tuple[int, int]) -> float:
+    dt = post[1] - pre[1]
+    return round((post[0] - pre[0]) / dt * 100, 3) if dt > 0 else 0.0
 
 
 def _spin(n: int) -> int:
@@ -99,9 +119,11 @@ def _spin(n: int) -> int:
 
 
 def host_probe(mp_procs: int = PROBE_MP_PROCS) -> dict:
-    """Loadavg snapshot + single-thread and multi-process CPU probes."""
+    """Loadavg snapshot + single-thread / multi-process CPU probes + steal%
+    over the probe window."""
     with open("/proc/loadavg") as f:
         la = [float(x) for x in f.read().split()[:3]]
+    steal0 = read_cpu_steal()
     t0 = time.perf_counter()
     _spin(PROBE_ST_ITERS)
     st = time.perf_counter() - t0
@@ -112,6 +134,7 @@ def host_probe(mp_procs: int = PROBE_MP_PROCS) -> dict:
     return {
         "loadavg_1m": la[0], "loadavg_5m": la[1], "loadavg_15m": la[2],
         "st_probe_s": round(st, 3), "mp_probe_s": round(mp_s, 3),
+        "steal_pct": steal_pct_between(steal0, read_cpu_steal()),
     }
 
 
@@ -120,6 +143,7 @@ def probe_is_noisy(probe: dict) -> bool:
         probe["st_probe_s"] > PROBE_ST_CALM_S * NOISY_ST_RATIO
         or probe["mp_probe_s"] > PROBE_MP_CALM_S * NOISY_MP_RATIO
         or probe["loadavg_1m"] > NOISY_LOADAVG_1M
+        or probe.get("steal_pct", 0.0) > NOISY_STEAL_PCT
     )
 
 HEADLINE_QUERIES = [
@@ -225,8 +249,12 @@ def bench_once(master: str, shuffle: int) -> dict:
         if attempt >= BENCH_CRAWL_RUNS and any(not r["noisy"] for r in runs):
             break  # the extra attempt happens only when all runs were noisy
         probe = host_probe()
+        steal0 = read_cpu_steal()
         c = run_crawl(spark)
-        runs.append({**c, "probe_pre": probe, "noisy": probe_is_noisy(probe)})
+        steal_run = steal_pct_between(steal0, read_cpu_steal())
+        runs.append({**c, "probe_pre": probe, "steal_pct_run": steal_run,
+                     "noisy": probe_is_noisy(probe)
+                     or steal_run > NOISY_STEAL_PCT})
     clean = [r for r in runs if not r["noisy"]]
     crawl = max(clean or runs, key=lambda c: c["urls_per_sec"])
     queries = run_queries(spark)
@@ -264,6 +292,7 @@ def main():
         # so the html column never shuffles (A/B in BENCH/PLANS.md);
         # NCS_SCALING_BUCKETED=0 re-runs the plain-parquet shape
         bucketed = os.environ.get("NCS_SCALING_BUCKETED", "1") == "1"
+        steal0 = read_cpu_steal()
         try:
             crawl = run_crawl(spark, rounds=SCALING_ROUNDS, site_params=SCALING_PARAMS,
                               settings=SCALING_SETTINGS, wh_base=shm,
@@ -276,11 +305,14 @@ def main():
             evlog = evlog_totals(evs[-1]) if evs else None
         finally:
             shutil.rmtree(shm, ignore_errors=True)
+        steal_run = steal_pct_between(steal0, read_cpu_steal())
         probe_post = host_probe()
         print("SCALERESULT " + json.dumps({
             "cores": cores, **crawl, "bucketed_corpus": bucketed,
             "probe_pre": probe_pre, "probe_post": probe_post,
-            "noisy": probe_is_noisy(probe_pre) or probe_is_noisy(probe_post),
+            "steal_pct_run": steal_run,
+            "noisy": probe_is_noisy(probe_pre) or probe_is_noisy(probe_post)
+            or steal_run > NOISY_STEAL_PCT,
             "evlog": evlog,
         }))
         return
@@ -298,7 +330,8 @@ def main():
         # separates a regression from host weather (r3 VERDICT #2)
         "crawl_runs": [
             {"urls_per_sec": r["urls_per_sec"], "wall_s": r["wall_s"],
-             "noisy": r["noisy"], "probe_pre": r["probe_pre"]}
+             "noisy": r["noisy"], "steal_pct_run": r["steal_pct_run"],
+             "probe_pre": r["probe_pre"]}
             for r in res["crawl_runs"]
         ],
     }
@@ -355,10 +388,12 @@ def scaling_orchestrate():
                       "noise_gate": {"st_calm_s": PROBE_ST_CALM_S,
                                      "mp_calm_s": PROBE_MP_CALM_S,
                                      "st_ratio": NOISY_ST_RATIO,
-                                     "mp_ratio": NOISY_MP_RATIO}},
+                                     "mp_ratio": NOISY_MP_RATIO,
+                                     "steal_pct": NOISY_STEAL_PCT}},
            # every attempt, with probes + evlog cpu totals — the full record
            "runs": {f"local{c}": [
                {k: r.get(k) for k in ("urls_per_sec", "wall_s", "noisy",
+                                      "steal_pct_run",
                                       "probe_pre", "probe_post", "evlog")}
                for r in all_runs[c]] for c in SCALING_CORES}}
     os.makedirs("BENCH", exist_ok=True)

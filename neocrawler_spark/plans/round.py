@@ -197,6 +197,21 @@ def _ring3(col):
 
 
 def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
+    """Adaptive-width wrapper: the round body retunes
+    spark.sql.shuffle.partitions per phase from manifest/footer row counts
+    and (by default) plans with AQE off — restore both afterwards so
+    co-resident analytic queries keep the session defaults."""
+    spark = ctx.spark
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")}
+    try:
+        return _run_round_body(ctx, state)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     import time as _time
     _t = {"start": _time.time()}
     def _mark(name):
@@ -272,6 +287,32 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     _state_rows = man_us["total_rows"] if man_us else 0
     man_fr = cat.manifest("frontier")
     _frontier_rows = man_fr["total_rows"] if man_fr else 0
+
+    # ---------------- adaptive physical width (manifest-driven)
+    # Every action's input size is driver-known BEFORE it runs (snapshot
+    # manifests + stage parquet footers), so the ENGINE sets the shuffle
+    # width per phase instead of paying a cores-wide task launch for every
+    # tiny stage: a converged round's maintenance stages run 1-4 tasks while
+    # wave stages fan to 2x cores. This is what keeps the per-round floor
+    # from GROWING with the cluster (r4 scaling: a 1.6k-row gated stage
+    # spent more wall at local[16] than at local[4] purely on task launch +
+    # py4j latency; at 1000 executors a 16k-task empty stage would be worse).
+    # AQE is OFF inside the round by default (settings round_aqe=True to
+    # re-enable): the round's partitioning is deterministic by construction
+    # — md5-uniform url_hash keys, salted politeness, bucketed prefix sums,
+    # manifest-known sizes — so runtime re-planning has no information
+    # advantage, and its per-exchange materialization barriers are a
+    # measured ~2x job-count overhead per round (127 vs 59 driver jobs).
+    # Analytic queries outside run_round keep AQE on (session default).
+    _dpar = spark.sparkContext.defaultParallelism
+    _adaptive_w = st.get("adaptive_shuffle", True)
+
+    def _set_width(rows: int, floor: int = 1, cap: int | None = None):
+        if _adaptive_w:
+            p = max(1, floor, min(cap or 2 * _dpar, (rows + 49_999) // 50_000))
+            spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    if _adaptive_w and not st.get("round_aqe", False):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     # Staging policy: every cut point is ALWAYS materialized. (Measured
     # alternative: inlining the cheap JVM chain for small rounds removes the
@@ -369,6 +410,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
                         spark.createDataFrame([], fr2_plan.schema),
                         partition_by=["popped"], shuffle=False)
     else:
+        _set_width(_frontier_rows + len(seed_rows))
         fr2 = cat.stage(spark, round_no, "fr2", fr2_plan,
                         partition_by=["popped"], shuffle=False)
     popped_bounds = (
@@ -438,6 +480,7 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     )
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
     qa = q.withColumn("allowed", allowed_col)
+    _set_width(backlog + min(balance, _frontier_rows) + len(seed_rows))
     surv = per_host_budget(qa.where("allowed"), ["seq"], salts=st["politeness_salts"])
     # disp partitions the stage into the three consumer row-sets; no reshuffle
     # (3-value col — clustering would collapse the wave write to 3 tasks).
@@ -582,6 +625,11 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         exres = cat.stage(spark, round_no, "exres",
                           spark.createDataFrame([], exres_plan.schema))
     else:
+        # extraction is per-row-expensive python: keep at least a full wave
+        # of tasks whenever there is at least one page per core (the
+        # explicit small-batch repartition above already handles hub-heavy
+        # tiny rounds; this floor covers the SHUFFLE_HASH width)
+        _set_width(batch_rows, floor=min(_dpar, batch_rows))
         exres = cat.stage(spark, round_no, "exres", exres_plan)
     # Fetch misses (batch rows with no corpus page) are absent from the
     # inner fetch join — recover them against the STAGED result so the
@@ -651,6 +699,12 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
     # url_state side is pruned by the runtime bloom filter / bucket
     # co-location either way; negatives only ride the small candidate side.
     mid_upd = _mid_round_overlay(new_sched, ex, failed, denied, round_ts)
+    # discovery volume is not footer-known until the pe stage lands; size it
+    # from the fetched batch with a links-per-page allowance (64), floored so
+    # a hub-heavy round still spans the cores. Width stays in effect for the
+    # updates stage below (same discovery-sized data).
+    _set_width(batch_rows * 64,
+               floor=min(_dpar, (batch_rows + 49) // 50))
     pe = cat.stage(
         spark, round_no, "pe",
         probed.join(
@@ -1029,6 +1083,14 @@ def run_round(ctx: CrawlContext, state: dict | None = None) -> dict:
         s = fn()
         return s, round(_time.time() - t0, 2)
 
+    # one width for the whole commit pool (conf is session-shared; concurrent
+    # commit threads must not race it): dominated by the url_state MERGE
+    # (state rows + this round's updates) and the fetch_log wave append.
+    # Capped at ONE wave of cores: with concurrent_commits, 6 jobs x 2-cores
+    # width queue ~12x cores tasks at once — the same driver/scheduler
+    # contention measured for concurrent commits at local[32]
+    _set_width(_state_rows + cat.stage_rows(round_no, "updates") + batch_rows,
+               cap=_dpar)
     n_workers = len(commit_plan) if st.get("concurrent_commits", False) else 1
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         futures = {name: pool.submit(_timed, fn) for name, fn in commit_plan.items()}

@@ -118,8 +118,67 @@ def evlog_totals(path) -> dict:
     }
 
 
+def job_timeline(path):
+    """Jobs with wall spans and the GAPS between them (gap = driver/py4j/
+    planning latency — the core-count-independent floor term)."""
+    import glob
+    import os
+
+    import io
+    import subprocess
+
+    files = (sorted(glob.glob(os.path.join(path, "events_*")),
+                    key=lambda p: int(os.path.basename(p).split("_")[1]))
+             if os.path.isdir(path) else [path])
+    jobs = {}
+    for p in files:
+        if p.endswith(".zstd"):
+            out = subprocess.run(["zstd", "-dc", p], capture_output=True)
+            f = io.StringIO(out.stdout.decode("utf-8", "replace"))
+        else:
+            f = open(p, errors="replace")
+        with f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                t = ev.get("Event")
+                if t == "SparkListenerJobStart":
+                    props = ev.get("Properties") or {}
+                    jobs[ev["Job ID"]] = {
+                        "start": ev["Submission Time"],
+                        "desc": (props.get("spark.job.description")
+                                 or props.get("callSite.short") or "")[:70],
+                        "stages": len(ev.get("Stage IDs", [])),
+                    }
+                elif t == "SparkListenerJobEnd":
+                    if ev["Job ID"] in jobs:
+                        jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
+    out = []
+    prev_end = None
+    for jid in sorted(jobs):
+        j = jobs[jid]
+        if "end" not in j:
+            continue
+        gap = (j["start"] - prev_end) / 1000 if prev_end is not None else 0.0
+        out.append({"jid": jid, "dur_s": round((j["end"] - j["start"]) / 1000, 2),
+                    "gap_s": round(gap, 2), "stages": j["stages"], "desc": j["desc"]})
+        prev_end = j["end"]
+    return out
+
+
 def main():
     path = sys.argv[1]
+    if "--timeline" in sys.argv:
+        tl = job_timeline(path)
+        tot_dur = sum(j["dur_s"] for j in tl)
+        tot_gap = sum(j["gap_s"] for j in tl)
+        print(f"jobs={len(tl)} total_job_dur={tot_dur:.1f}s total_gap={tot_gap:.1f}s")
+        for j in tl:
+            print(f"{j['jid']:>4} gap={j['gap_s']:>6.2f} dur={j['dur_s']:>7.2f} "
+                  f"stages={j['stages']:>2}  {j['desc']}")
+        return
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     rows = parse_evlog(path)
     total_wall = sum(r["wall_s"] or 0 for r in rows)

@@ -14,16 +14,27 @@ from bench import (  # noqa: E402
     PROBE_MP_CALM_S,
     host_probe,
     probe_is_noisy,
+    read_cpu_steal,
+    steal_pct_between,
 )
 
 
 def test_flag_logic_pure():
     calm = {"loadavg_1m": 1.0, "loadavg_5m": 1.0, "loadavg_15m": 1.0,
-            "st_probe_s": 0.45, "mp_probe_s": 0.7}
+            "st_probe_s": 0.45, "mp_probe_s": 0.7, "steal_pct": 0.0}
     assert not probe_is_noisy(calm)
     assert probe_is_noisy({**calm, "st_probe_s": 0.9})      # all-core foreign load
     assert probe_is_noisy({**calm, "mp_probe_s": 2.0})      # machine contention
     assert probe_is_noisy({**calm, "loadavg_1m": 80.0})     # catastrophic load
+    assert probe_is_noisy({**calm, "steal_pct": 5.0})       # hypervisor co-tenant
+
+
+def test_steal_delta_pure():
+    # arithmetic of the pre/post delta: 200 steal jiffies over 10k total = 2%
+    assert steal_pct_between((1_000, 50_000), (1_200, 60_000)) == 2.0
+    assert steal_pct_between((0, 100), (0, 100)) == 0.0  # zero-span guard
+    s, t = read_cpu_steal()  # live read parses and is monotone-consistent
+    assert 0 <= s <= t
 
 
 def _spin_secs(secs):
