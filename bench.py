@@ -76,18 +76,21 @@ BENCH_CRAWL_RUNS = 2
 # tell a code regression from host weather. Before each run we snapshot
 # /proc/loadavg and run two CPU probes; a run whose PRE-probe is inflated is
 # flagged "noisy" and retried — a BENCH_r*.json can no longer be ambiguous.
-# Calm-host calibration (this sandbox, 2026-08-17, loadavg ~1):
-#   single-thread 8M-iteration loop ~0.34-0.49 s (foreign load on ALL cores
-#   inflates it; measured 3x under 64 synthetic spinners); 24-process pool of
-#   the same loop ~0.52-0.82 s wall (machine-level contention inflates it
-#   even when one thread runs clean — the documented noise-wave signature;
-#   measured 2.2 s under the same synthetic load).
+# Calm-host calibration (this sandbox, re-measured 2026-08-17 late): the
+# host is BIMODAL. Fast mode: single-thread 8M-iteration loop 0.34-0.38 s,
+# 24-process pool of the same loop 0.62-0.64 s wall. Degraded mode: the mp
+# probe doubles (measured 1.24-1.30 s) while steal% can stay ~1% — co-tenant
+# contention that inflates 32-core Spark walls 2-3x without showing up in
+# steal (the r4 "clean" 53 urls/s run: mp_pre 1.24 s, steal_run 1.2%, every
+# wall 2x). The earlier calibration (st 0.45 / mp 0.80) was itself taken in
+# degraded mode, which is why that run passed the guard. Thresholds now sit
+# between the two modes so degraded-mode runs always flag.
 PROBE_ST_ITERS = 8_000_000
-PROBE_ST_CALM_S = 0.45
+PROBE_ST_CALM_S = 0.38
 PROBE_MP_PROCS = 24
-PROBE_MP_CALM_S = 0.80
-NOISY_ST_RATIO = 1.55   # st probe > 0.70 s
-NOISY_MP_RATIO = 1.60   # mp probe > 1.28 s
+PROBE_MP_CALM_S = 0.66
+NOISY_ST_RATIO = 1.55   # st probe > 0.59 s
+NOISY_MP_RATIO = 1.60   # mp probe > 1.06 s
 NOISY_LOADAVG_1M = 40.0  # catastrophic foreign load (own decay can reach ~16)
 # /proc/stat "steal" is jiffies the hypervisor ran someone ELSE while this VM
 # had runnable work — the one counter foreign co-tenant load cannot hide from
@@ -224,17 +227,34 @@ def run_crawl(spark, rounds: int = BENCH_ROUNDS, site_params: dict | None = None
     }
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """Per-query walls with the same noise discipline as the crawl: each
+    query records the steal% over its own window and is retried once when
+    that window was noisy (best wall wins). Returns (walls, noise-evidence);
+    a query whose every attempt ran under steal stays flagged in the
+    evidence map so a weather-inflated wall is never ambiguous."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    out = {}
+    out, noise = {}, {}
     for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
-    return out
+        attempts = []
+        for _ in range(2):
+            steal0 = read_cpu_steal()
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            wall = round(time.time() - t0, 3)
+            attempts.append(
+                {"wall_s": wall,
+                 "steal_pct": steal_pct_between(steal0, read_cpu_steal())})
+            if attempts[-1]["steal_pct"] <= NOISY_STEAL_PCT:
+                break
+        best = min(attempts, key=lambda a: a["wall_s"])
+        out[name] = best["wall_s"]
+        noise[name] = {"attempts": attempts,
+                       "noisy": all(a["steal_pct"] > NOISY_STEAL_PCT
+                                    for a in attempts)}
+    return out, noise
 
 
 def bench_once(master: str, shuffle: int) -> dict:
@@ -257,9 +277,9 @@ def bench_once(master: str, shuffle: int) -> dict:
                      or steal_run > NOISY_STEAL_PCT})
     clean = [r for r in runs if not r["noisy"]]
     crawl = max(clean or runs, key=lambda c: c["urls_per_sec"])
-    queries = run_queries(spark)
-    return {"crawl": crawl, "queries": queries, "crawl_runs": runs,
-            "noisy": crawl["noisy"]}
+    queries, query_noise = run_queries(spark)
+    return {"crawl": crawl, "queries": queries, "query_noise": query_noise,
+            "crawl_runs": runs, "noisy": crawl["noisy"]}
 
 
 def main():
@@ -324,6 +344,7 @@ def main():
         "unit": "urls/sec",
         "noisy": res["noisy"],
         "queries": res["queries"],
+        "query_noise": res["query_noise"],
         "sf": SF_DIR,
         "crawl": res["crawl"],
         # every attempt with its pre-run host probe — the evidence that
