@@ -268,6 +268,9 @@ def bench_once(master: str, shuffle: int) -> dict:
     for attempt in range(BENCH_CRAWL_RUNS + 1):
         if attempt >= BENCH_CRAWL_RUNS and any(not r["noisy"] for r in runs):
             break  # the extra attempt happens only when all runs were noisy
+        # don't burn an attempt inside a noise wave (waves last minutes;
+        # the cap keeps a permanently loud host from stalling the bench)
+        wait_for_calm(max_wait_s=600)
         probe = host_probe()
         steal0 = read_cpu_steal()
         c = run_crawl(spark)
@@ -359,33 +362,70 @@ def main():
     print(json.dumps(line))
 
 
-SCALING_RUNS_TARGET = 3   # clean (non-noisy) runs wanted per level
-SCALING_MAX_ATTEMPTS = 5  # hard cap — a permanently-loud host still yields
-                          # an artifact, flagged noisy
+SCALING_RUNS_TARGET = 3    # clean (non-noisy) runs wanted per level
+SCALING_MAX_ATTEMPTS = 8   # hard cap per level — a permanently-loud host
+                           # still yields an artifact, flagged noisy
+SCALING_CALM_WAIT_S = 1800  # max wait for a calm window before an attempt
+
+
+def wait_for_calm(max_wait_s: int = SCALING_CALM_WAIT_S,
+                  probes: int = 2, gap_s: int = 15) -> bool:
+    """Block until `probes` consecutive host probes are calm (the host's
+    noise arrives in multi-minute waves — launching a measured run inside a
+    wave burns a whole attempt). Gives up after max_wait_s so a permanently
+    loud host still makes progress; the attempt then records its own noisy
+    evidence."""
+    t0 = time.time()
+    while True:
+        ok = True
+        for i in range(probes):
+            if probe_is_noisy(host_probe()):
+                ok = False
+                break
+            if i < probes - 1:
+                time.sleep(gap_s)
+        if ok:
+            return True
+        if time.time() - t0 > max_wait_s:
+            return False
+        time.sleep(60)
 
 
 def scaling_orchestrate():
     # best-of-N >= 3 CLEAN runs per level (r3 VERDICT #1): every attempt is
     # recorded with its pre/post host probes + per-stage task-cpu totals;
     # noisy attempts don't count toward the target and the chosen number is
-    # the best CLEAN run. Applied IDENTICALLY to both levels.
-    results: dict[int, dict] = {}
+    # the best CLEAN run. Applied IDENTICALLY to both levels. Attempts
+    # ALTERNATE between the levels and each one first waits for a calm
+    # window (wait_for_calm), so both levels sample the same weather and a
+    # noise wave costs minutes of waiting, not a burned 8-minute run.
     all_runs: dict[int, list] = {c: [] for c in SCALING_CORES}
+    attempts = {c: 0 for c in SCALING_CORES}
+
+    def clean_count(c):
+        return sum(1 for r in all_runs[c] if not r["noisy"])
+
+    while True:
+        pending = [c for c in SCALING_CORES
+                   if clean_count(c) < SCALING_RUNS_TARGET
+                   and attempts[c] < SCALING_MAX_ATTEMPTS]
+        if not pending:
+            break
+        # least-attempted pending level first -> strict alternation while
+        # both are pending
+        cores = min(pending, key=lambda c: attempts[c])
+        wait_for_calm()
+        attempts[cores] += 1
+        p = subprocess.run(
+            [sys.executable, __file__, "--single", str(cores)],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for ln in p.stdout.splitlines():
+            if ln.startswith("SCALERESULT "):
+                r = json.loads(ln[len("SCALERESULT "):])
+                all_runs[cores].append(r)
+    results: dict[int, dict] = {}
     for cores in SCALING_CORES:
-        clean = 0
-        for attempt in range(SCALING_MAX_ATTEMPTS):
-            if clean >= SCALING_RUNS_TARGET:
-                break
-            p = subprocess.run(
-                [sys.executable, __file__, "--single", str(cores)],
-                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            for ln in p.stdout.splitlines():
-                if ln.startswith("SCALERESULT "):
-                    r = json.loads(ln[len("SCALERESULT "):])
-                    all_runs[cores].append(r)
-                    if not r["noisy"]:
-                        clean += 1
         if not all_runs[cores]:
             print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
             raise SystemExit(f"scaling run at {cores} cores failed")

@@ -53,9 +53,19 @@ def _perms_values_sql() -> str:
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # The tokenize+explode is the per-row-expensive step of every signature
+    # pipeline. A small corpus arrives as ONE parquet split, which would
+    # serialize that step on a single task (the map-side partial agg of the
+    # signature groupBy runs in the same task, so nothing downstream
+    # parallelizes it). Spread the scan only when it under-splits — at
+    # corpus scale the file/row-group count far exceeds the core count and
+    # this is a no-op, so no extra shuffle ever reaches the 100 TB plan.
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par, "doc_id")
     return (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.expr(TOKENIZE)).alias("tok"))
+        d.select("doc_id", F.explode(F.expr(TOKENIZE)).alias("tok"))
         .withColumn("h", F.expr(TOKHASH))
     )
 
