@@ -399,8 +399,16 @@ def scaling_orchestrate():
     # ALTERNATE between the levels and each one first waits for a calm
     # window (wait_for_calm), so both levels sample the same weather and a
     # noise wave costs minutes of waiting, not a burned 8-minute run.
+    state_path = "BENCH/scaling_runs.json"
     all_runs: dict[int, list] = {c: [] for c in SCALING_CORES}
-    attempts = {c: 0 for c in SCALING_CORES}
+    if os.environ.get("NCS_SCALING_RESUME") == "1" and os.path.exists(state_path):
+        try:
+            prev = json.load(open(state_path))
+            for c in SCALING_CORES:
+                all_runs[c] = prev.get(str(c), [])
+        except Exception:
+            pass
+    attempts = {c: len(all_runs[c]) for c in SCALING_CORES}
 
     def clean_count(c):
         return sum(1 for r in all_runs[c] if not r["noisy"])
@@ -424,11 +432,25 @@ def scaling_orchestrate():
             if ln.startswith("SCALERESULT "):
                 r = json.loads(ln[len("SCALERESULT "):])
                 all_runs[cores].append(r)
+        # durability: persist every attempt and the current best artifact
+        # immediately — a killed orchestrator loses nothing, and
+        # NCS_SCALING_RESUME=1 continues from the recorded attempts
+        os.makedirs("BENCH", exist_ok=True)
+        with open(state_path, "w") as f:
+            json.dump({str(c): all_runs[c] for c in SCALING_CORES}, f, indent=2)
+        if all(all_runs[c] for c in SCALING_CORES):
+            _write_scaling_artifact(all_runs)
+    if not all(all_runs[c] for c in SCALING_CORES):
+        print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
+        raise SystemExit("scaling run produced no result for some level")
+    print(json.dumps(_write_scaling_artifact(all_runs)))
+
+
+def _write_scaling_artifact(all_runs: dict[int, list]) -> dict:
+    """Fold the recorded attempts into BENCH/scaling.json: best CLEAN run
+    per level (best run at all, flagged, if no clean one exists)."""
     results: dict[int, dict] = {}
     for cores in SCALING_CORES:
-        if not all_runs[cores]:
-            print(p.stdout[-3000:], p.stderr[-3000:], file=sys.stderr)
-            raise SystemExit(f"scaling run at {cores} cores failed")
         pool = [r for r in all_runs[cores] if not r["noisy"]] or all_runs[cores]
         results[cores] = max(pool, key=lambda r: r["urls_per_sec"])
     lo, hi = SCALING_CORES
@@ -460,7 +482,7 @@ def scaling_orchestrate():
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
