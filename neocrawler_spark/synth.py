@@ -270,6 +270,37 @@ def hash_free_offset(s: str) -> int:
     return h
 
 
+# ----------------------------------------------------- clustered embeddings
+def gen_clustered_embeddings_df(spark: SparkSession, n_vecs: int = 2000,
+                                dim: int = 64, n_clusters: int = 32,
+                                noise: float = 0.05) -> DataFrame:
+    """Mixture-of-centroids embeddings fixture (r4 VERDICT #6): the driver's
+    synthetic embeddings are isotropic gaussians, on which ANY IVF index
+    degenerates to recall ≈ probed-mass fraction (nprobe/K) — the property a
+    100-TB ANN user buys (recall ≥ 0.9 at nprobe/K ≪ 1) is only measurable
+    on CLUSTERED data, which is what real text embeddings are.
+
+    Deterministic and seed-free (synth.py convention): every value is an
+    md5-derived uniform in [-1, 1), computed JVM-side per row —
+      centroid[c][d] = u('c', c, d)           (cluster spread ~ unit cube)
+      vec[i][d]      = centroid[i % C][d] + noise * u('v', i, d)
+    With dim=64 the expected inter-centroid L2 is ~6.5 vs a noise-ball radius
+    of ~0.23 at noise=0.05 — well-separated tight clusters, the FAISS-IVF
+    textbook regime. Schema matches the driver's embeddings.parquet exactly
+    (vec_id bigint, embedding array<float>, label int); label = true cluster.
+    """
+    u = ("(cast(conv(substring(md5(concat('{p}', cast({x} as string), '-', d)),"
+         " 1, 8), 16, 10) as bigint) / 2147483647.5 - 1.0)")
+    cent = u.format(p="c-", x=f"vec_id % {n_clusters}")
+    nz = u.format(p="v-", x="vec_id")
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(f"cast(transform(sequence(1, {dim}), d -> {cent} + {noise} * {nz})"
+               " as array<float>)").alias("embedding"),
+        (F.col("id") % n_clusters).cast("int").alias("label"),
+    )
+
+
 # ------------------------------------------------------------------ rules
 
 

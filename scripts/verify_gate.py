@@ -108,8 +108,11 @@ def main():
         nf = flog.count()
         nok = flog.filter("status = 'fetched'").count()
         last = cat.last_completed_round()
-        print(f"crawl: fetch_log_rows={nf} ok={nok} last_round={last}")
-        if nf == 0 or nok == 0 or last != 2:
+        # last_completed_round returns the full round record (dict) —
+        # unwrap; older Catalogs returned the bare int
+        last_n = last.get("round") if isinstance(last, dict) else last
+        print(f"crawl: fetch_log_rows={nf} ok={nok} last_round={last_n}")
+        if nf == 0 or nok == 0 or last_n != 2:
             failures.append("crawl_round")
 
     spark.stop()
