@@ -105,6 +105,16 @@ NOISY_LOADAVG_1M = 40.0  # catastrophic foreign load (own decay can reach ~16)
 # PRE/POST DELTA ACROSS EACH RUN, so a wave that starts mid-run (which pre-run
 # probes cannot see) still flags the run.
 NOISY_STEAL_PCT = 2.0
+# Work-normalized CPU gate (r5): the degraded co-tenant mode inflates TRUE
+# thread CPU (ThreadMXBean — cache/membw destruction counts as on-CPU
+# cycles) up to 92x in write stages while steal% and pre-run probes stay
+# calm — measured same-binary same-config local[16] runs 30 min apart:
+# task_cpu_s 1212 (224 s wall, 5435 urls/s) vs 5326 (617 s wall). The floors
+# below are the best-observed clean task_cpu_s per scaling level; a run
+# burning > RATIO x floor of true CPU for the identical workload ran inside
+# the pathology and is flagged regardless of what the probes saw.
+SCALING_CPU_FLOOR_S = {4: 480.0, 16: 1210.0}
+NOISY_CPU_RATIO = 1.6
 
 
 def read_cpu_steal() -> tuple[int, int]:
@@ -339,10 +349,16 @@ def main():
         # so the html column never shuffles (A/B in BENCH/PLANS.md);
         # NCS_SCALING_BUCKETED=0 re-runs the plain-parquet shape
         bucketed = os.environ.get("NCS_SCALING_BUCKETED", "1") == "1"
+        settings = dict(SCALING_SETTINGS)
+        # A/B knob for the commit-mode diagnosis (r5): concurrent py4j write
+        # jobs were the r2 local[32] regression; NCS_SCALING_CONC_COMMITS=0
+        # re-runs the scaling job with sequential commits
+        if os.environ.get("NCS_SCALING_CONC_COMMITS") == "0":
+            settings["concurrent_commits"] = False
         steal0 = read_cpu_steal()
         try:
             crawl = run_crawl(spark, rounds=SCALING_ROUNDS, site_params=SCALING_PARAMS,
-                              settings=SCALING_SETTINGS, wh_base=shm,
+                              settings=settings, wh_base=shm,
                               bucketed_corpus=bucketed)
             spark.stop()  # flush the event log before parsing it
             sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
@@ -351,16 +367,29 @@ def main():
             evs = sorted(p for p in glob.glob(f"{evdir}/*") if p != gclog)
             evlog = evlog_totals(evs[-1]) if evs else None
             gc = gclog_totals(gclog)
+            # keep the raw event+gc logs for per-stage diagnosis
+            keep = os.environ.get("NCS_SCALING_KEEP_EVLOG")
+            if keep:
+                shutil.copytree(evdir, os.path.join(keep, os.path.basename(evdir)),
+                                dirs_exist_ok=True)
         finally:
             shutil.rmtree(shm, ignore_errors=True)
         steal_run = steal_pct_between(steal0, read_cpu_steal())
         probe_post = host_probe()
+        floor = SCALING_CPU_FLOOR_S.get(cores)
+        cpu_true = (evlog or {}).get("task_cpu_s")
+        cpu_inflation = (round(cpu_true / floor, 2)
+                         if floor and cpu_true else None)
         print("SCALERESULT " + json.dumps({
             "cores": cores, **crawl, "bucketed_corpus": bucketed,
             "probe_pre": probe_pre, "probe_post": probe_post,
             "steal_pct_run": steal_run,
+            # true-CPU multiple of the level's known-clean floor: the
+            # degraded-mode detector probes and steal% cannot see
+            "cpu_inflation": cpu_inflation,
             "noisy": probe_is_noisy(probe_pre) or probe_is_noisy(probe_post)
-            or steal_run > NOISY_STEAL_PCT,
+            or steal_run > NOISY_STEAL_PCT
+            or (cpu_inflation is not None and cpu_inflation > NOISY_CPU_RATIO),
             "evlog": evlog,
             "gclog": gc,
         }))
@@ -531,8 +560,9 @@ def _write_scaling_artifact(all_runs: dict[int, list]) -> dict:
            # every attempt, with probes + evlog cpu totals — the full record
            "runs": {f"local{c}": [
                {k: r.get(k) for k in ("urls_per_sec", "wall_s", "noisy",
-                                      "steal_pct_run",
-                                      "probe_pre", "probe_post", "evlog")}
+                                      "steal_pct_run", "cpu_inflation",
+                                      "probe_pre", "probe_post", "evlog",
+                                      "gclog")}
                for r in all_runs[c]] for c in SCALING_CORES}}
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
