@@ -138,9 +138,38 @@ SELECT doc_id,
 FROM documents
 """
 
+# ----------------------------------------------------------- training mix
+# Per-language keep rates: downsample the dominant language, keep the tail.
+# The point of the operator is HOW it samples, not the rates: a hash of the
+# row key against a per-stratum threshold. Unlike rand()-based sampling this
+# is deterministic across retries, partitionings, and cluster sizes (a
+# re-executed task keeps exactly the same rows — required for reproducible
+# training mixes), shuffles nothing, and needs no RNG state. Pure map-side
+# filter: at 100 TB it is a single scan with the predicate pushed to parquet.
+_MIX_CASE = ("CASE lang WHEN 'en' THEN 0.35 WHEN 'zh' THEN 0.8 "
+             "WHEN 'es' THEN 0.8 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.8 "
+             "ELSE 1.0 END")
+
+
+def q_sample_training_mix(spark, sf_dir):
+    """Deterministic stratified sampler: keep doc iff
+    u(doc_id) < rate(lang), with u = md5-derived uniform in [0, 1)."""
+    d = load(spark, sf_dir, "documents")
+    u = ("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+         " as double) / 4294967296.0")
+    return d.where(F.expr(f"{u} < {_MIX_CASE}")).select("doc_id", "lang")
+
+
+SQL_SAMPLE_TRAINING_MIX = f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+      < {_MIX_CASE}
+"""
+
 QUERIES = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "sample_training_mix": (q_sample_training_mix, SQL_SAMPLE_TRAINING_MIX),
 }

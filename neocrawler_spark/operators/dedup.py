@@ -149,12 +149,10 @@ FROM h, perms GROUP BY doc_id, perm
 
 
 # ----------------------------------------------------------------- minhash-LSH
-def q_dedup_minhash_lsh(spark, sf_dir):
-    """LSH candidate pairs: docs sharing any band of the MinHash signature.
-    band_hash = md5 of the band's concatenated minhashes; pairs via equi
-    self-join on (band, band_hash) — the scale path (no all-pairs scan)."""
-    sig = q_dedup_minhash(spark, sf_dir)
-    bands = (
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from signature rows — the LSH band index
+    schema, shared by the full self-join and the incremental delta probe."""
+    return (
         sig.withColumn("band", (F.col("perm") - 1) % N_BANDS)
         .groupBy("doc_id", "band")
         .agg(
@@ -166,6 +164,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
             ).alias("band_hash")
         )
     )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band of the MinHash signature.
+    band_hash = md5 of the band's concatenated minhashes; pairs via equi
+    self-join on (band, band_hash) — the scale path (no all-pairs scan)."""
+    bands = _band_frame(q_dedup_minhash(spark, sf_dir))
     # Banded equi self-join over a MATERIALIZED bands frame: both join sides
     # must read the same computed table or the tokens→sig→bands pipeline
     # runs twice. What gets pinned is BANDS (|docs| × N_BANDS rows — the
@@ -197,6 +202,44 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# ------------------------------------------- incremental LSH (delta vs index)
+# A daily 100-TB ingest cannot re-run LSH over the whole corpus: the band
+# index (doc_id, band, band_hash) is a persisted table maintained across
+# runs, and each new batch computes signatures ONLY for its own docs (the
+# tokenize/explode cost is delta-sized) then probes the index with one equi
+# join. Deterministic split so the DuckDB oracle replicates the semantics
+# exactly: doc_id % 10 >= 8 is the "new" delta (~20%), the rest the corpus.
+INC_NEW_PRED = "doc_id % 10 >= 8"
+
+
+def q_dedup_lsh_incremental(spark, sf_dir):
+    """Candidate pairs touching the delta only: delta-bands ⋈ index-bands on
+    (band, band_hash) — equals the full-corpus LSH pairs restricted to pairs
+    with >= 1 new doc, without the full-corpus self-join.
+
+    Scale shape: the index side here is the pinned bands frame standing in
+    for the persisted index table; the join output is bounded by
+    |delta bands| × band collision rate, and at real delta/corpus ratios
+    (<< 1%) the delta side broadcasts — the whole daily dedup becomes one
+    map-side probe over the index scan, no shuffle of the corpus at all."""
+    bands, _ = _pin(spark, _band_frame(q_dedup_minhash(spark, sf_dir)), "bands")
+    delta = bands.where(INC_NEW_PRED)
+    return (
+        delta.alias("n")
+        .join(
+            bands.alias("x"),
+            (F.col("n.band") == F.col("x.band"))
+            & (F.col("n.band_hash") == F.col("x.band_hash"))
+            & (F.col("n.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "x.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "x.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH toks AS (
   SELECT doc_id, unnest({TOKENIZE_DUCK}) AS tok FROM documents
@@ -214,6 +257,14 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+# full-corpus pairs restricted to those touching >= 1 new doc — the exact
+# semantics the delta-probe join above produces
+SQL_DEDUP_LSH_INCREMENTAL = f"""
+WITH pairs AS ({SQL_DEDUP_MINHASH_LSH})
+SELECT doc_a, doc_b FROM pairs
+WHERE doc_a % 10 >= 8 OR doc_b % 10 >= 8
 """
 
 
@@ -516,6 +567,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_lsh_incremental": (q_dedup_lsh_incremental, SQL_DEDUP_LSH_INCREMENTAL),
     "dedup_lsh_resolve": (q_dedup_lsh_resolve, SQL_DEDUP_LSH_RESOLVE),
     "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash()),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
