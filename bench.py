@@ -113,6 +113,11 @@ NOISY_STEAL_PCT = 2.0
 # below are the best-observed clean task_cpu_s per scaling level; a run
 # burning > RATIO x floor of true CPU for the identical workload ran inside
 # the pathology and is flagged regardless of what the probes saw.
+# NOTE: floors were calibrated on the pre-tokenizer extraction path (r5's
+# css.py rewrite cut extraction CPU ~1.5x); they are therefore conservative
+# UPPER bounds — a post-rewrite run reads cpu_inflation < 1, which can only
+# under-flag weather, never false-flag a clean run. Re-floor after the next
+# clean pair lands.
 SCALING_CPU_FLOOR_S = {4: 480.0, 16: 1210.0}
 NOISY_CPU_RATIO = 1.6
 
