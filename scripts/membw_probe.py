@@ -1,15 +1,19 @@
 """Host scaling probe for the BENCH/BASELINE.md core-pair choice.
 
 Runs the extraction kernel (render + process_document, no Spark) under raw
-multiprocessing at two worker counts and prints the speedup. On this
-sandbox's single box the kernel scales ~3.4x from 4->16 workers but only
-~2.7x from 8->32: the host's memory bandwidth saturates above ~16 active
-cores (a pure-register loop scales ~4x at 32, so it is bandwidth, not CPU).
-A real 4N-executor cluster adds memory channels with nodes, so the sandbox
-stand-in uses the largest 4x step the hardware can express: local[4] vs
-local[16].
+multiprocessing at two worker counts and prints the speedup. The kernel's
+bandwidth density sets where this box's memory bandwidth saturates, so the
+ladder must be RE-MEASURED whenever the extraction path changes. Measured
+ladders (calm windows):
+  pre-tokenizer (html.parser engine):  4->16 3.41x (0.85), 8->32 2.73x
+  post-tokenizer (regex engine, r5):   1->4 4.07x (1.02), 2->8 3.64x
+                                       (0.91), 4->16 2.23x (0.56)
+A pure-register loop scales ~4x at 32 workers, so the ceiling is bandwidth,
+not CPU. A real 4N-executor cluster adds memory channels with nodes, so the
+sandbox stand-in uses the largest 4x step the hardware can express — 2 vs 8
+for the current engine (bench.py SCALING_CORES).
 
-Usage: python scripts/membw_probe.py [lo hi]   (default 4 16; try 8 32)
+Usage: python scripts/membw_probe.py [lo hi]   (default 4 16; try 2 8)
 """
 
 import sys
