@@ -91,22 +91,78 @@ def _perms_values_sql() -> str:
     return ", ".join(f"({i}, {a}, {b})" for i, a, b in PERMS)
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    # The tokenize+explode is the per-row-expensive step of every signature
-    # pipeline. A small corpus arrives as ONE parquet split, which would
-    # serialize that step on a single task (the map-side partial agg of the
-    # signature groupBy runs in the same task, so nothing downstream
-    # parallelizes it). Spread the scan only when it under-splits — at
-    # corpus scale the file/row-group count far exceeds the core count and
-    # this is a no-op, so no extra shuffle ever reaches the 100 TB plan.
+def _spread(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Spread an under-split scan across the cores. A small corpus arrives as
+    ONE parquet split, which would serialize the per-row-expensive tokenize +
+    hash map work on a single task. At corpus scale the file/row-group count
+    far exceeds the core count and this is a no-op, so no extra shuffle ever
+    reaches the 100 TB plan."""
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par, "doc_id")
-    return (
-        d.select("doc_id", F.explode(F.expr(TOKENIZE)).alias("tok"))
-        .withColumn("h", F.expr(TOKHASH))
+    return d
+
+
+def _doc_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig) with sig = the 8 minhashes ordered by perm — computed
+    ROW-LOCALLY (guide §2.3/§2.4): tokenize once into an array, hash each
+    token with a higher-order transform, then each permutation's minhash is
+    an array_min over the token-hash array. No explode, no perms crossJoin,
+    no aggregation shuffle — the entire signature pipeline is one map over
+    the documents scan (r5 shape: explode×perms → 2-shuffle groupBy chain).
+    Docs with no tokens are dropped (size < 1), exactly as explode() dropped
+    them; the min over (a*h+b) % P31 is the same bigint arithmetic as the
+    old per-row aggregation, so signatures stay bit-identical."""
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    d = d.select(
+        "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
+    ).where(F.size("hs") >= 1)
+    return d.select(
+        "doc_id",
+        F.array(*[
+            F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {P31}))")
+            for _i, a, b in PERMS
+        ]).alias("sig"),
     )
+
+
+def _band_hash_col(band: int):
+    """md5 of the band's minhashes joined by ',' — identical bytes to the old
+    collect_list(struct(perm, minhash)) → array_sort → join path: band b
+    holds perms b+1 and b+5 (perm asc), bigint→string cast is the same
+    decimal rendering."""
+    return F.md5(F.concat_ws(
+        ",",
+        F.element_at("sig", band + 1).cast("string"),
+        F.element_at("sig", band + 1 + N_BANDS).cast("string"),
+    ))
+
+
+def _bands_local(doc_sig: DataFrame, with_sig: bool = False) -> DataFrame:
+    """(doc_id, band, band_hash[, sig]) — the LSH band index, exploded 4
+    rows/doc from the row-local sig. with_sig carries the signature into the
+    band self-join so the verify step needs NO extra joins (guide §2.3:
+    shuffle slim metadata — 8 longs — instead of re-joining the pair table)."""
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band"), _band_hash_col(b).alias("band_hash"))
+        for b in range(N_BANDS)
+    ])
+    cols = ["doc_id", "e.band", "e.band_hash"] + (["sig"] if with_sig else [])
+    return doc_sig.select("doc_id", "sig", F.explode(entries).alias("e")).select(*cols)
+
+
+def _spread_join_side(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a pinned bands frame by the band join key when it sits in
+    fewer partitions than the cores: the banded self-join's pair expansion
+    (quadratic in clique size) and the map side of the downstream distinct
+    otherwise run inside ONE task (measured: 9.6M pairs generated + partially
+    deduped on a single core = 10.3 s of the 13.6 s query). The explicit
+    partition count survives AQE coalescing; at corpus scale the pinned frame
+    already has >= cores partitions and this is a no-op."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, "band", "band_hash")
+    return df
 
 
 # ----------------------------------------------------------------- exact
@@ -128,13 +184,17 @@ FROM documents GROUP BY md5(text)
 
 # ----------------------------------------------------------------- minhash
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash signature rows (doc_id, perm, minhash)."""
-    toks = _tokens(spark, sf_dir)
-    perms = spark.createDataFrame(PERMS, "perm int, a long, b long")
+    """MinHash signature rows (doc_id, perm, minhash) — exploded 8 rows/doc
+    from the row-local sig array (no shuffle at all; the old shape slid
+    |tokens|×|perms| rows through a two-phase hash agg)."""
+    entries = F.array(*[
+        F.struct(F.lit(i).alias("perm"), F.element_at("sig", i).alias("minhash"))
+        for i, _a, _b in PERMS
+    ])
     return (
-        toks.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % P31).alias("minhash"))
+        _doc_sig_frame(spark, sf_dir)
+        .select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", "e.perm", "e.minhash")
     )
 
 
@@ -149,19 +209,15 @@ FROM h, perms GROUP BY doc_id, perm
 
 
 # ----------------------------------------------------------------- minhash-LSH
-def _band_frame(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, band_hash) from signature rows — the LSH band index
-    schema, shared by the full self-join and the incremental delta probe."""
+def _band_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Candidate pairs from two band frames: equi join on (band, band_hash),
+    doc_a < doc_b."""
     return (
-        sig.withColumn("band", (F.col("perm") - 1) % N_BANDS)
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.expr("transform(array_sort(collect_list(struct(perm, minhash))), x -> cast(x.minhash as string))"),
-                    ",",
-                )
-            ).alias("band_hash")
+        a.alias("a").join(
+            b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
     )
 
@@ -169,34 +225,24 @@ def _band_frame(sig: DataFrame) -> DataFrame:
 def q_dedup_minhash_lsh(spark, sf_dir):
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
     band_hash = md5 of the band's concatenated minhashes; pairs via equi
-    self-join on (band, band_hash) — the scale path (no all-pairs scan)."""
-    bands = _band_frame(q_dedup_minhash(spark, sf_dir))
-    # Banded equi self-join over a MATERIALIZED bands frame: both join sides
-    # must read the same computed table or the tokens→sig→bands pipeline
-    # runs twice. What gets pinned is BANDS (|docs| × N_BANDS rows — the
-    # small frame), never the pair output: r3 shipped pairs.localCheckpoint()
-    # and the eager write of the |pairs| join output (9.6M rows at sf0.1)
-    # dominated the whole query (40-50 s cold vs ~5 s for the join itself).
-    # At corpus scale |pairs| is unbounded (quadratic in the duplicate
-    # clique sizes) while |bands| is linear in |docs| — pinning the linear
-    # frame and leaving the join lazy is the only shape that survives 100 TB.
-    # Materialization via _pin (r2 VERDICT #7): localCheckpoint by default,
-    # executor-loss-safe parquet roundtrip under NCS_LSH_CHECKPOINT_DIR (a
-    # lost executor only re-reads the file split; nothing recomputes the
-    # signature pipeline). Callers that act on the result more than once
-    # re-run only the banded equi join + distinct (the pinned bands are
-    # never recomputed); pin the verified/filtered DOWNSTREAM of the pairs
-    # if iterating (see q_dedup_lsh_resolve).
-    bands, _ = _pin(spark, bands, "bands")  # eager, |docs| x N_BANDS rows
-    a = bands.alias("a")
-    b = bands.alias("b")
+    self-join on (band, band_hash) — the scale path (no all-pairs scan).
+
+    Pinning policy: what gets pinned is BANDS (|docs| × N_BANDS rows — the
+    linear frame), never the pair output: r3 shipped pairs.localCheckpoint()
+    and the eager write of the |pairs| join output (9.6M rows at sf0.1)
+    dominated the whole query. At corpus scale |pairs| is unbounded
+    (quadratic in duplicate clique sizes) while |bands| is linear in |docs|
+    — pinning the linear frame and leaving the join lazy is the only shape
+    that survives 100 TB. Materialization via _pin: localCheckpoint by
+    default, executor-loss-safe parquet roundtrip under
+    NCS_LSH_CHECKPOINT_DIR. The pinned frame is re-spread across the cores
+    (_spread_join_side) so the pair expansion and the distinct's map-side
+    partial agg parallelize — a 1-partition pin put 9.6M pairs through ONE
+    task (measured 10.3 s of the 13.6 s r5 query)."""
+    bands, _ = _pin(spark, _bands_local(_doc_sig_frame(spark, sf_dir)), "bands")
+    bands = _spread_join_side(spark, bands)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _band_pairs(bands, bands)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -222,7 +268,8 @@ def q_dedup_lsh_incremental(spark, sf_dir):
     |delta bands| × band collision rate, and at real delta/corpus ratios
     (<< 1%) the delta side broadcasts — the whole daily dedup becomes one
     map-side probe over the index scan, no shuffle of the corpus at all."""
-    bands, _ = _pin(spark, _band_frame(q_dedup_minhash(spark, sf_dir)), "bands")
+    bands, _ = _pin(spark, _bands_local(_doc_sig_frame(spark, sf_dir)), "bands")
+    bands = _spread_join_side(spark, bands)
     delta = bands.where(INC_NEW_PRED)
     return (
         delta.alias("n")
@@ -286,51 +333,78 @@ def q_dedup_lsh_resolve(spark, sf_dir):
     emit (doc_id, cluster_rep, keep) — keep marks the representative row.
 
     Scale shape: every step is a bounded equi join —
-    * verify: pairs ⋈ signature-arrays (2 joins, array compare JVM-side via
-      zip_with/filter, no explode);
+    * verify: fused into the banded self-join — the pinned band frame
+      carries the 8-long signature, so agreement is a JVM zip_with/filter
+      over the join output with NO extra join (r5 re-joined the candidate
+      pairs against a signature table twice);
     * CC: min-label propagation + pointer jumping — per round one equi join
       on node id + a map-side-combinable min agg, then a labels self-join
-      that shortcuts rep := rep(rep); localCheckpoint'd so lineage stays
-      flat. The shortcut halves every label chain per round, so convergence
-      is O(log diameter) (sf0.1: 5 rounds for a diameter-11 graph) — the
-      same round bound as alternating small-star/large-star (Kiveris et
-      al., "Connected Components in MapReduce and Beyond") with one fewer
-      join per round on this band-bucket near-clique graph shape.
-    The per-iteration fixpoint check collects ONE scalar (changed-count)."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)  # lazy; bands are pinned
-    sigv = (
-        q_dedup_minhash(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.expr("transform(array_sort(collect_list(struct(perm, minhash))),"
-                    " x -> x.minhash)").alias("sig"))
-    )
+      that shortcuts rep := rep(rep); pinned so lineage stays flat. The
+      shortcut halves every label chain per round, so convergence is
+      O(log diameter) — the same round bound as alternating
+      small-star/large-star (Kiveris et al., "Connected Components in
+      MapReduce and Beyond") with one fewer join per round on this
+      band-bucket near-clique graph shape. Label init folds the first
+      propagation round into the init job (rep0 = min(self, min neighbor)).
+    The per-iteration fixpoint check collects ONE scalar (changed-count,
+    a filter-count over the just-pinned frame — no join)."""
+    # Bands pinned WITH the signature (8 longs/row): the verify step then
+    # needs NO join against a separate signature table — the banded
+    # self-join's output already carries sig_a/sig_b, the agreement filter
+    # runs before the distinct (filter-then-distinct ≡ distinct-then-filter
+    # for a deterministic per-pair predicate), and the r5 shape's two
+    # pairs⋈sigv joins (9.6M-row side, measured the bulk of the 29.5 s
+    # resolve) disappear. Guide §2.3: carry slim metadata through the one
+    # shuffle that must happen instead of re-attaching it to the fat side.
+    bands, _ = _pin(spark, _bands_local(_doc_sig_frame(spark, sf_dir),
+                                        with_sig=True), "bands")
+    bands = _spread_join_side(spark, bands)
     verified = (
-        pairs.join(sigv.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
-        .join(sigv.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
-        .withColumn(
-            "n_agree",
-            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"),
+        _band_pairs(bands, bands)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
+                   " v -> v))").alias("n_agree"),
         )
         .where(F.col("n_agree") >= VERIFY_MIN_AGREE)
         .select("doc_a", "doc_b")
-    )
-    # pin VERIFIED (the filtered near-dup edges — tiny vs the candidate
-    # pairs): it feeds the plan twice (union with its own swap) and the
-    # candidate join is lazy, so without this the banded self-join would
-    # run twice inside the edges job. All loop pins go through _pin, so the
-    # whole resolve is executor-loss-safe under NCS_LSH_CHECKPOINT_DIR
-    # (r4 VERDICT #5); superseded table-write dirs are removed as soon as
-    # their successor is pinned.
-    verified, verified_path = _pin(spark, verified, "verified")
-    edges, _ = _pin(spark, verified.unionByName(
-        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ), "edges")
-    if verified_path:  # edges subsume verified; its table is dead weight now
-        shutil.rmtree(verified_path, ignore_errors=True)
-    labels, labels_path = _pin(spark, (
-        edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
-        .withColumn("rep", F.col("doc_id"))
+    )
+    # Both edge directions in ONE pass over the verify join (explode of the
+    # pair + its swap) — the r5 union-with-swap read the pinned verified
+    # frame twice. All loop pins go through _pin, so the whole resolve is
+    # executor-loss-safe under NCS_LSH_CHECKPOINT_DIR (r4 VERDICT #5);
+    # superseded table-write dirs are removed once their successor is pinned.
+    edges, _ = _pin(spark, (
+        verified.select(F.explode(F.array(
+            F.struct(F.col("doc_a"), F.col("doc_b")),
+            F.struct(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
+        )).alias("e")).select("e.doc_a", "e.doc_b")
+    ), "edges")
+    # The loop runs under the session's AQE (on): the edges⋈labels join's
+    # labels side is runtime-broadcast while small and degrades gracefully
+    # to a shuffle join at scale, and tiny exchanges coalesce to one task.
+    # (Measured alternative: AQE off + edge-count-derived static width made
+    # the loop ~40% slower — without runtime stats the planner sort-merges
+    # the full edge frame against labels every iteration.)
+    labels = _cc_fixpoint(spark, edges)
+    return labels.select(
+        "doc_id",
+        F.col("rep").alias("cluster_rep"),
+        (F.col("doc_id") == F.col("rep")).alias("keep"),
+    )
+
+
+def _cc_fixpoint(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Min-label propagation + pointer jumping over a pinned symmetric edge
+    frame, to a fixpoint. Runs under the caller's (loop-sized) shuffle conf."""
+    # label init = min(self, min neighbor): the first propagation round is
+    # folded into the init job (one groupBy over the pinned edges), so the
+    # loop starts one round ahead of the r5 rep=self init.
+    labels, labels_path = _pin(spark, (
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("min_nb"))
+        .select("doc_id", F.least("doc_id", "min_nb").alias("rep"))
     ), "labels")
     for _ in range(CC_MAX_ITERS):
         neigh = (
@@ -338,36 +412,32 @@ def q_dedup_lsh_resolve(spark, sf_dir):
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("rep").alias("nrep"))
         )
-        prop = labels.join(neigh, "doc_id", "left").select(
-            "doc_id", F.least("rep", F.coalesce("nrep", "rep")).alias("rep")
+        prop = labels.select("doc_id", "rep").join(neigh, "doc_id", "left").select(
+            "doc_id", F.col("rep").alias("prev_rep"),
+            F.least("rep", F.coalesce("nrep", "rep")).alias("rep"),
         )
         # pointer jumping (path shortcut): rep := rep(rep). One self-join on
         # the labels table per round halves every label chain, so propagate
         # + shortcut converges in O(log diameter) rounds instead of
-        # O(diameter) — measured at sf0.1: 11 plain propagation rounds → 5.
-        # rep is always itself a labeled node, so the inner join is total.
+        # O(diameter). rep is always itself a labeled node, so the inner
+        # join is total. prev_rep rides into the pin so the convergence
+        # check is a filter-count over the PINNED frame — the r5 shape
+        # re-joined new labels against old (an extra join job per round).
         hop = prop.select(F.col("doc_id").alias("rep_id"), F.col("rep").alias("rep2"))
         new_labels, new_path = _pin(spark, (
             prop.join(hop, prop.rep == hop.rep_id)
-            .select("doc_id", F.col("rep2").alias("rep"))
+            .select("doc_id", F.col("rep2").alias("rep"),
+                    F.col("prev_rep").alias("old_rep"))
         ), "labels")
-        changed = (
-            new_labels.join(labels.withColumnRenamed("rep", "old_rep"), "doc_id")
-            .where(F.col("rep") < F.col("old_rep"))
-            .count()
-        )
-        if labels_path:  # the changed-count was this table's last reader
+        changed = new_labels.where(F.col("rep") < F.col("old_rep")).count()
+        if labels_path:  # the new pin superseded this table
             shutil.rmtree(labels_path, ignore_errors=True)
         labels, labels_path = new_labels, new_path
         if changed == 0:
             break
     else:
         raise RuntimeError(f"CC did not converge in {CC_MAX_ITERS} rounds")
-    return labels.select(
-        "doc_id",
-        F.col("rep").alias("cluster_rep"),
-        (F.col("doc_id") == F.col("rep")).alias("keep"),
-    )
+    return labels
 
 
 SQL_DEDUP_LSH_RESOLVE = f"""
@@ -408,19 +478,31 @@ N_BITS = 48  # bits of the 60-bit token hash used for the fingerprint
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash fingerprint per doc: bit j of the fingerprint is the sign of
-    sum over tokens of ±1 according to bit j of the token hash."""
-    toks = _tokens(spark, sf_dir)
-    bits = spark.createDataFrame(
-        [(j, 1 << j) for j in range(N_BITS)], "j int, p2 long"
-    )
-    return (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn("bit", F.expr("(h div p2) % 2"))  # integer div: double / loses bits >2^53
-        .groupBy("doc_id", "j", "p2")
-        .agg(F.sum(F.when(F.col("bit") == 1, 1).otherwise(-1)).alias("v"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("v") > 0, F.col("p2")).otherwise(0)).alias("simhash"))
-    )
+    sum over tokens of ±1 according to bit j of the token hash. Computed
+    ROW-LOCALLY: per doc, each bit's vote sum is an aggregate() over the
+    token-hash array — no explode×bits crossJoin, no two-level shuffle agg
+    (the r5 shape slid |tokens|×48 rows through two hash aggs). `div` keeps
+    the bit test in bigint (double / loses bits >2^53); the per-bit ±1 sums
+    and the final bit-or over p2 are the identical arithmetic, so
+    fingerprints are bit-identical."""
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    d = d.select(
+        "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
+    ).where(F.size("hs") >= 1)
+    bit_cols = [
+        F.when(
+            F.expr(
+                f"aggregate(hs, 0L, (acc, h) -> acc"
+                f" + (case when (h div {1 << j}) % 2 = 1 then 1 else -1 end))"
+            ) > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(N_BITS)
+    ]
+    simhash = bit_cols[0]
+    for c in bit_cols[1:]:
+        simhash = simhash + c
+    return d.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 def sql_dedup_simhash() -> str:
