@@ -108,10 +108,34 @@ def cmd_explain(outdir: str, suffix: str = "", names: list[str] | None = None):
         print(f"wrote {name}")
 
 
+def cmd_crawl(evdir: str | None):
+    """The headline bench crawl (same params/settings as bench.py's default
+    mode), optionally with an event log for per-job gap analysis."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench import BENCH_PARAMS, BENCH_ROUNDS, BENCH_SETTINGS, run_crawl
+    from neocrawler_spark.session import get_spark
+
+    extra = {}
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir}
+    spark = get_spark("bench_extra_crawl", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS, extra_conf=extra)
+    c = run_crawl(spark, rounds=BENCH_ROUNDS, site_params=BENCH_PARAMS,
+                  settings=dict(BENCH_SETTINGS), bucketed_corpus=True)
+    for r in c["per_round"]:
+        print("ROUND " + json.dumps(r), flush=True)
+    print("CRAWL " + json.dumps({k: c[k] for k in
+                                 ("urls_processed", "wall_s", "urls_per_sec")}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "queries"
     if cmd == "queries":
         cmd_queries(sys.argv[2:])
+    elif cmd == "crawl":
+        cmd_crawl(sys.argv[2] if len(sys.argv) > 2 else None)
     elif cmd == "lsh":
         cmd_lsh()
     elif cmd == "explain":

@@ -158,8 +158,11 @@ class CrawlContext:
             )
             for r in self.rules
         ]
-        return self.spark.createDataFrame(
-            rows,
+        # one-slice frame (schema.local_df): each of this frame's ~4
+        # per-round broadcast builds was otherwise a cores-wide task launch
+        # (measured: 32-task 0-CPU stages dominating the per-round floor)
+        return schema.local_df(
+            self.spark, rows,
             "rule_key string, rate double, interval_s int, keywords array<string>, "
             "is_binary boolean, rule_type string, rule_rank int, encoding string",
         )
@@ -338,10 +341,11 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
                     order += 1
             if r["seed"]:
                 first_sched[r["key"]] = round_ts
-    seeds_df = spark.createDataFrame(
-        seed_rows, "url_hash string, url string, rule_key string, host string, ord long"
-    ) if seed_rows else spark.createDataFrame(
-        [], "url_hash string, url string, rule_key string, host string, ord long"
+    # one-slice frame: seed lists are config-sized; a defaultParallelism-
+    # sliced frame costs a cores-wide launch per broadcast build (see rules_df)
+    seeds_df = schema.local_df(
+        spark, seed_rows,
+        "url_hash string, url string, rule_key string, host string, ord long",
     )
 
     # ---------------- A2: quota admission (frontier ⋈ url_state)
@@ -407,7 +411,7 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
         # latency each (r3 event-log measurement) — stage an empty frame
         # with the identical schema instead
         fr2 = cat.stage(spark, round_no, "fr2",
-                        spark.createDataFrame([], fr2_plan.schema),
+                        schema.local_df(spark, [], fr2_plan.schema),
                         partition_by=["popped"], shuffle=False)
     else:
         _set_width(_frontier_rows + len(seed_rows))
@@ -473,7 +477,8 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     # fetch offset): batch / denied / leftover are filters over it — the old
     # separate denied/batch stage writes + leftover anti-join were 2 extra
     # jobs per round of pure floor (r1 scaling verdict).
-    robots = ctx.robots if ctx.robots is not None else spark.createDataFrame([], schema.ROBOTS)
+    robots = (ctx.robots if ctx.robots is not None
+              else schema.local_df(spark, [], schema.ROBOTS))
     q = queue.join(F.broadcast(robots), "host", "left").withColumn(
         "max_fetches_per_round",
         F.coalesce("max_fetches_per_round", F.lit(st["default_host_budget"])),
@@ -623,7 +628,7 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     batch_rows = cat.stage_rows(round_no, "gated", disp="batch")
     if batch_rows == 0 and ctx.download_hook is None:
         exres = cat.stage(spark, round_no, "exres",
-                          spark.createDataFrame([], exres_plan.schema))
+                          schema.local_df(spark, [], exres_plan.schema))
     else:
         # extraction is per-row-expensive python: keep at least a full wave
         # of tasks whenever there is at least one page per core (the
@@ -887,11 +892,11 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
         F.col("ex.extracted").alias("extracted"),
         F.col("ex.children").alias("extracted_children"),
         F.col("ex.drill_relation").alias("drill_relation"),
-    ) if st["save_content"] else spark.createDataFrame([], schema.CRAWLED)
+    ) if st["save_content"] else schema.local_df(spark, [], schema.CRAWLED)
     if ctx.pipeline_hook is not None:
         crawled = ctx.pipeline_hook(crawled, cat, round_no)
         if crawled is None:  # hook did its own sink; keep round records consistent
-            crawled = spark.createDataFrame([], schema.CRAWLED)
+            crawled = schema.local_df(spark, [], schema.CRAWLED)
     # $category routing (pipeline.js:275: extracted_data['$category'] redirects
     # the HBase table). Category values are rule config, not data — derived
     # from ctx.rules with no job; rows with a declared category land in
@@ -1091,7 +1096,13 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     # contention measured for concurrent commits at local[32]
     _set_width(_state_rows + cat.stage_rows(round_no, "updates") + batch_rows,
                cap=_dpar)
-    n_workers = len(commit_plan) if st.get("concurrent_commits", False) else 1
+    # Default width 2 (guide §2.6): enough overlap that one commit's driver-
+    # side tail (footer scans, manifest writes) back-fills with the next
+    # commit's compute, without re-creating the r2 regression (6-7 concurrent
+    # py4j write jobs stalling each other 8-20x at local[32]).
+    # concurrent_commits=True keeps the all-parallel pool for real clusters.
+    n_workers = (len(commit_plan) if st.get("concurrent_commits", False)
+                 else min(len(commit_plan), int(st.get("commit_workers", 2))))
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         futures = {name: pool.submit(_timed, fn) for name, fn in commit_plan.items()}
         res = {name: fut.result() for name, fut in futures.items()}

@@ -162,3 +162,18 @@ ROBOTS = T.StructType(
 # with ~100B/row of state this is ~1TB of state; 4096 buckets → ~250MB per
 # bucket file group, merge rewrites touch only dirty buckets. Tests override.
 DEFAULT_BUCKETS = 4096
+
+
+def local_df(spark, rows, schema):
+    """Driver-built config frame as ONE slice. Plain createDataFrame
+    parallelizes into defaultParallelism pickled partitions, so every
+    broadcast build / consumer stage over a tiny config frame pays a
+    cores-wide task launch plus a per-partition Python round-trip
+    (measured at local[32]: ~0.5 s/broadcast at 32 slices, ~3.8 s(!) when
+    coalesce(1) serializes the 32 round-trips, 0.33 s as one slice).
+    Config frames (rules, seeds, robots, empty table stubs) are bounded by
+    operator config, never by corpus size, so one slice is the scale-safe
+    shape too."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )

@@ -77,7 +77,12 @@ class Catalog:
     def read(self, spark: SparkSession, name: str, schema: T.StructType) -> DataFrame:
         m = self.manifest(name)
         if m is None or not m["files"]:
-            return spark.createDataFrame([], schema=schema)
+            # one slice: createDataFrame parallelizes into defaultParallelism
+            # EMPTY partitions, so every consumer stage of an empty table read
+            # pays a cores-wide task launch for nothing (round 1 reads 4
+            # not-yet-existing tables — measured 32-task 0-CPU stages)
+            from .. import schema as _schema_mod
+            return _schema_mod.local_df(spark, [], schema)
         return spark.read.schema(schema).parquet(*[f["path"] for f in m["files"]])
 
     def exists(self, name: str) -> bool:

@@ -428,7 +428,8 @@ def gen_robots_rows(params: dict) -> list[dict]:
 
 
 def gen_robots_df(spark: SparkSession, params: dict) -> DataFrame:
-    return spark.createDataFrame(gen_robots_rows(params), schema=schema.ROBOTS)
+    # one-slice config frame: this df is broadcast every round (schema.local_df)
+    return schema.local_df(spark, gen_robots_rows(params), schema.ROBOTS)
 
 
 def seed_list(rules: list[dict]) -> list[tuple[str, str]]:
