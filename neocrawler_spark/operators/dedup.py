@@ -222,30 +222,74 @@ def _band_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def _sig_groups(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Contract identical-signature docs into groups (r6, guide §2.3/§2.5):
+    (groups, members) with groups = (sig, gid=min doc_id, n_members) pinned,
+    members = (doc_id, gid) lazy over the pinned sig frame.
+
+    Why: near-dup corpora concentrate docs onto FEW distinct signatures
+    (sf0.1: 5000 docs → 1232 sigs, hottest group 1604 docs), and docs with
+    identical sigs have identical band hashes — so the banded self-join's
+    pair expansion is quadratic in GROUP size (1604² ≈ 1.3M of the 9.6M
+    joined rows from one bucket) while carrying zero information: every
+    same-sig pair is trivially a candidate (and trivially verifies 8/8).
+    Running the band join on one row per DISTINCT sig keeps the expansion
+    quadratic only in the number of distinct colliding sigs. Both pinned
+    frames are linear in |docs|; the groupBy(sig) is map-side combinable and
+    the members join is a plain equi join (AQE skew-split applies if one sig
+    dominates a shuffle partition at corpus scale)."""
+    sigs, _ = _pin(spark, _doc_sig_frame(spark, sf_dir), "sigs")
+    groups, _ = _pin(
+        spark,
+        sigs.groupBy("sig").agg(
+            F.min("doc_id").alias("gid"), F.count("*").alias("n_members")
+        ),
+        "groups",
+    )
+    members = sigs.join(groups.select("sig", "gid"), "sig").select("doc_id", "gid")
+    return groups, members
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """LSH candidate pairs: docs sharing any band of the MinHash signature.
     band_hash = md5 of the band's concatenated minhashes; pairs via equi
     self-join on (band, band_hash) — the scale path (no all-pairs scan).
 
-    Pinning policy: what gets pinned is BANDS (|docs| × N_BANDS rows — the
-    linear frame), never the pair output: r3 shipped pairs.localCheckpoint()
-    and the eager write of the |pairs| join output (9.6M rows at sf0.1)
-    dominated the whole query. At corpus scale |pairs| is unbounded
-    (quadratic in duplicate clique sizes) while |bands| is linear in |docs|
-    — pinning the linear frame and leaving the join lazy is the only shape
-    that survives 100 TB. Materialization via _pin: localCheckpoint by
-    default, executor-loss-safe parquet roundtrip under
-    NCS_LSH_CHECKPOINT_DIR. The pinned frame is re-spread across the cores
-    (_spread_join_side) so the pair expansion and the distinct's map-side
-    partial agg parallelize — a 1-partition pin put 9.6M pairs through ONE
-    task (measured 10.3 s of the 13.6 s r5 query)."""
-    bands, _ = _pin(spark, _bands_local(_doc_sig_frame(spark, sf_dir)), "bands")
-    bands = _spread_join_side(spark, bands)
-    return (
-        _band_pairs(bands, bands)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    r6 shape (guide §2.3/§2.4): the self-join runs over ONE band row per
+    DISTINCT signature (_sig_groups), then group pairs expand to doc pairs
+    through two linear member joins:
+    * cross-group pairs — (g_a, g_b) collisions × members of each side; any
+      member pair of a colliding group pair shares that band, so expansion
+      is exact;
+    * same-group pairs — members self-join on gid (identical sigs collide in
+      every band).
+    The two sets are disjoint and internally duplicate-free, so the old
+    `distinct()` over the quadratic pair output (the dominant shuffle: 9.6M
+    rows at sf0.1) disappears — the only distinct left runs over the TINY
+    colliding-group-pair set. Pinning policy unchanged: only linear frames
+    (sigs, groups) are ever materialized, the quadratic output stays lazy."""
+    groups, members = _sig_groups(spark, sf_dir)
+    gb = _bands_local(groups.select(F.col("gid").alias("doc_id"), "sig"))
+    gp = (
+        _band_pairs(gb, gb)
+        .select(F.col("a.doc_id").alias("g_a"), F.col("b.doc_id").alias("g_b"))
         .distinct()
     )
+    ma = members.select(F.col("gid").alias("g_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("gid").alias("g_b"), F.col("doc_id").alias("db"))
+    cross = (
+        gp.join(ma, "g_a").join(mb, "g_b")
+        .select(F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"))
+    )
+    m1 = members.select("gid", F.col("doc_id").alias("doc_a"))
+    m2 = members.select("gid", F.col("doc_id").alias("doc_b"))
+    same = (
+        m1.join(m2, "gid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return cross.unionByName(same)
 
 
 # ------------------------------------------- incremental LSH (delta vs index)
@@ -348,19 +392,23 @@ def q_dedup_lsh_resolve(spark, sf_dir):
       propagation round into the init job (rep0 = min(self, min neighbor)).
     The per-iteration fixpoint check collects ONE scalar (changed-count,
     a filter-count over the just-pinned frame — no join)."""
-    # Bands pinned WITH the signature (8 longs/row): the verify step then
-    # needs NO join against a separate signature table — the banded
-    # self-join's output already carries sig_a/sig_b, the agreement filter
-    # runs before the distinct (filter-then-distinct ≡ distinct-then-filter
-    # for a deterministic per-pair predicate), and the r5 shape's two
-    # pairs⋈sigv joins (9.6M-row side, measured the bulk of the 29.5 s
-    # resolve) disappear. Guide §2.3: carry slim metadata through the one
-    # shuffle that must happen instead of re-attaching it to the fat side.
-    bands, _ = _pin(spark, _bands_local(_doc_sig_frame(spark, sf_dir),
-                                        with_sig=True), "bands")
-    bands = _spread_join_side(spark, bands)
+    # r6: verify + CC run on the CONTRACTED signature-group graph
+    # (_sig_groups). Identical sigs ⇒ identical band hashes ⇒ every same-sig
+    # pair is a candidate AND verifies 8/8, so same-sig docs are always one
+    # clique; and the verify predicate (sig agreement) is uniform across a
+    # group's members, so cross-group verified edges are group-uniform too.
+    # The verified graph is therefore exactly "complete within each group +
+    # complete bipartite between verified group pairs", and its components
+    # are the group graph's components expanded — CC over groups (sf0.1:
+    # 1232 nodes) replaces CC over docs (3.4M verified pairs → 6.8M-row
+    # symmetric edge frame, measured 8 s to pin + 5 propagation rounds over
+    # it). The r5 shape's distinct over the quadratic pair set disappears
+    # with it — the only distinct is over colliding GROUP pairs.
+    groups, members = _sig_groups(spark, sf_dir)
+    gb = _bands_local(groups.select(F.col("gid").alias("doc_id"), "sig"),
+                      with_sig=True)
     verified = (
-        _band_pairs(bands, bands)
+        _band_pairs(gb, gb)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
             F.expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),"
@@ -371,9 +419,8 @@ def q_dedup_lsh_resolve(spark, sf_dir):
         .distinct()
     )
     # Both edge directions in ONE pass over the verify join (explode of the
-    # pair + its swap) — the r5 union-with-swap read the pinned verified
-    # frame twice. All loop pins go through _pin, so the whole resolve is
-    # executor-loss-safe under NCS_LSH_CHECKPOINT_DIR (r4 VERDICT #5);
+    # pair + its swap). All loop pins go through _pin, so the whole resolve
+    # is executor-loss-safe under NCS_LSH_CHECKPOINT_DIR (r4 VERDICT #5);
     # superseded table-write dirs are removed once their successor is pinned.
     edges, _ = _pin(spark, (
         verified.select(F.explode(F.array(
@@ -387,8 +434,19 @@ def q_dedup_lsh_resolve(spark, sf_dir):
     # (Measured alternative: AQE off + edge-count-derived static width made
     # the loop ~40% slower — without runtime stats the planner sort-merges
     # the full edge frame against labels every iteration.)
-    labels = _cc_fixpoint(spark, edges)
-    return labels.select(
+    glabels = _cc_fixpoint(spark, edges)  # (doc_id = gid, rep)
+    # Expand group labels back to docs: a group belongs in the output iff it
+    # has ≥2 members (its docs pair with each other) or sits in the edge
+    # graph (≥1 verified cross-group pair). rep of an edge-less multi-member
+    # group is its own gid. gid = min doc_id of the group, and CC min-labels
+    # over gids, so rep = min doc_id of the whole component — unchanged.
+    out_groups = (
+        groups.select("gid", "n_members")
+        .join(glabels.withColumnRenamed("doc_id", "gid"), "gid", "left")
+        .where((F.col("n_members") >= 2) | F.col("rep").isNotNull())
+        .select("gid", F.coalesce("rep", "gid").alias("rep"))
+    )
+    return members.join(out_groups, "gid").select(
         "doc_id",
         F.col("rep").alias("cluster_rep"),
         (F.col("doc_id") == F.col("rep")).alias("keep"),

@@ -40,13 +40,14 @@ def test_resolve_loop_table_write_path(spark, tmp_path, monkeypatch):
     assert reliable == base
 
     # single per-session subdir; the loop's superseded tables were removed
-    # (left on disk: bands + edges + the FINAL labels table the returned
-    # frame still reads — never a per-iteration pile-up)
+    # (left on disk: the linear pins — sigs + groups + group-graph edges +
+    # the FINAL labels table the returned frame still reads — never a
+    # per-iteration pile-up)
     sessions = os.listdir(ckpt)
     assert len(sessions) == 1 and sessions[0].startswith("ncs-lsh-")
     sess = ckpt / sessions[0]
     tags = sorted({d.split("-")[0] for d in os.listdir(sess)})
-    assert tags == ["bands", "edges", "labels"]
+    assert tags == ["edges", "groups", "labels", "sigs"]
     n_labels = sum(1 for d in os.listdir(sess) if d.startswith("labels-"))
     assert n_labels == 1
     assert not any(d.startswith("verified-") for d in os.listdir(sess))
