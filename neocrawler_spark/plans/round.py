@@ -78,6 +78,48 @@ def EMPTY_ARR():  # must be lazy: Column construction needs an active session
     return F.array().cast("array<string>")
 
 
+# rule-attribute columns available to _with_rule_cols (name → literal builder)
+_RULE_COL_BUILDERS = {
+    "rate": lambda ctx, r: F.lit(float(r["rate"])),
+    "interval_s": lambda ctx, r: F.lit(int(r["schedule_interval"])).cast("int"),
+    "keywords": lambda ctx, r: (
+        F.array(*[F.lit(k) for k in kw]).cast("array<string>")
+        if (kw := (r.get("validation_keywords") or [])) else
+        F.array().cast("array<string>")
+    ),
+    "is_binary": lambda ctx, r: F.lit(r["format"] == "binary"),
+    "rule_type": lambda ctx, r: F.lit(r["type"]),
+    "rule_rank": lambda ctx, r: F.lit(ctx.rank[r["key"]]).cast("int"),
+    "encoding": lambda ctx, r: F.lit(r.get("encoding")).cast("string"),
+}
+
+
+def _with_rule_cols(df: DataFrame, ctx: "CrawlContext", cols: list[str]) -> DataFrame:
+    """Attach rule-config columns keyed on rule_key as ONE literal-map lookup
+    instead of a broadcast join (guide §2.4/§2.6 job-count floor): rules are
+    driver-known config (dozens), and every broadcast join against them costs
+    a SEPARATE sequential job per action (build + collect + relation) — the
+    event log showed 4-5 such sub-second jobs per round whose latency, not
+    compute, was the cost. element_at on a missing key yields NULL, exactly
+    the old left join. A real cluster keeps the same shape: the map literal
+    ships inside the task binary like any broadcast, minus the build job.
+    The map Column is built ONCE per context and reused across all sites and
+    rounds: Column construction is py4j-call-bounded, and rebuilding the
+    full literal at every site was measured at 3.4 s per 4-round crawl."""
+    if not ctx.rules:
+        out = df
+        for c in cols:
+            t = {"rate": "double", "interval_s": "int", "is_binary": "boolean",
+                 "rule_rank": "int", "keywords": "array<string>"}.get(c, "string")
+            out = out.withColumn(c, F.lit(None).cast(t))
+        return out
+    looked = F.element_at(ctx.rules_map_col(tuple(cols)), F.col("rule_key"))
+    out = df.withColumn("_rl", looked)
+    for c in cols:
+        out = out.withColumn(c, F.col(f"_rl.{c}"))
+    return out.drop("_rl")
+
+
 class CircuitBreakerTripped(RuntimeError):
     """Round-level failure breaker (reference analog: the spider halts the
     process on cumulative extract/download failures, extractor.js:416-423 and
@@ -148,6 +190,25 @@ class CrawlContext:
         self.rank = {r["key"]: i for i, r in enumerate(ranked)}
         self.total_rates = sum(r["rate"] for r in self.rules)
         self.lifo = {r["key"] for r in self.rules if r["schedule_rule"] == "LIFO"}
+
+    def rules_map_col(self, cols: tuple[str, ...]):
+        """Literal map rule_key → struct(cols) for _with_rule_cols, built
+        lazily once per context PER column subset (needs an active session)
+        and reused across rounds — Column objects are immutable and
+        session-scoped. Per-subset (not one all-column map): the lookup
+        materializes the struct per row before field extraction, so a site
+        that needs one int must not pay for keyword-array literals."""
+        if getattr(self, "_rules_maps", None) is None:
+            self._rules_maps = {}
+        if cols not in self._rules_maps:
+            entries = []
+            for r in self.rules:
+                entries.append(F.lit(r["key"]))
+                entries.append(F.struct(*[
+                    _RULE_COL_BUILDERS[c](self, r).alias(c) for c in cols
+                ]))
+            self._rules_maps[cols] = F.create_map(*entries)
+        return self._rules_maps[cols]
 
     def rules_df(self) -> DataFrame:
         rows = [
@@ -352,12 +413,13 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     # equi hash join on url_hash; both sides bucketed identically, so a real
     # catalog makes this storage-partitioned (shuffle-free); here AQE decides.
     fr = (
-        frontier.join(
-            url_state.select("url_hash", "status", "last", "version"),
-            "url_hash", "left",
+        _with_rule_cols(
+            frontier.join(
+                url_state.select("url_hash", "status", "last", "version"),
+                "url_hash", "left",
+            ),
+            ctx, ["interval_s", "rule_rank"],
         )
-        .join(F.broadcast(rules_df.select("rule_key", "interval_s", "rule_rank")),
-              "rule_key", "left")
         .withColumn(
             "admit_pre",
             # missing url_info → popped but not counted (checkURL:347)
@@ -374,18 +436,32 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
         F.col("rule_key").isin(*ctx.lifo) if ctx.lifo else F.lit(False), -F.col("seq")
     ).otherwise(F.col("seq"))
     w_dup = Window.partitionBy("url_hash").orderBy("rule_rank", pop_order_global)
-    fr = (
-        fr.join(
-            F.broadcast(seeds_df.select("url_hash").distinct().withColumn("is_seed_url", F.lit(True))),
-            "url_hash", "left",
-        )
-        .withColumn("dup_rn", F.row_number().over(w_dup))
-        .withColumn(
+    # seed url_hashes are driver-known (seed_rows was built in Python above):
+    # probe them as an isin literal (InSet past 10 values) instead of a
+    # broadcast join — one fewer broadcast-build job in the fr2 plan. Guarded
+    # to config-sized lists; a pathological seed file keeps the join.
+    seed_hashes = sorted({r[0] for r in seed_rows})
+    if len(seed_hashes) <= 100_000:
+        not_seed_url = (~F.col("url_hash").isin(seed_hashes)
+                        if seed_hashes else F.lit(True))
+        fr = fr.withColumn("dup_rn", F.row_number().over(w_dup)).withColumn(
             "admit",
-            F.col("admit_pre") & F.col("is_seed_url").isNull() & (F.col("dup_rn") == 1),
+            F.col("admit_pre") & not_seed_url & (F.col("dup_rn") == 1),
+        ).drop("dup_rn", "admit_pre")
+    else:
+        fr = (
+            fr.join(
+                F.broadcast(seeds_df.select("url_hash").distinct()
+                            .withColumn("is_seed_url", F.lit(True))),
+                "url_hash", "left",
+            )
+            .withColumn("dup_rn", F.row_number().over(w_dup))
+            .withColumn(
+                "admit",
+                F.col("admit_pre") & F.col("is_seed_url").isNull() & (F.col("dup_rn") == 1),
+            )
+            .drop("is_seed_url", "dup_rn", "admit_pre")
         )
-        .drop("is_seed_url", "dup_rn", "admit_pre")
-    )
     # The quota aggregate below and the consumption window both read `fr`;
     # Catalyst has no common-subtree reuse, so the frontier⋈state subtree
     # appears TWICE inside the fr2 job. That is deliberate: the aggregate
@@ -554,7 +630,8 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
             batch.hint("SHUFFLE_HASH"), "url", "inner"
         )
     fv = (
-        fetched.join(F.broadcast(rules_df), "rule_key", "left")
+        _with_rule_cols(fetched, ctx,
+                        ["encoding", "is_binary", "keywords", "rule_type"])
         # validation reads content decoded per the RULE's encoding (the
         # reference validates post-iconv text, extractor.js:392-414); pages
         # whose rule declares none decode as utf-8 here — malformed bytes
@@ -645,13 +722,11 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     # only below the same threshold as the fetch join (the driver-side hash
     # build is O(batch) single-threaded — slim shuffle otherwise)
     _exres_keys = exres.select("url_hash")
-    missing_rows = (
+    missing_rows = _with_rule_cols(
         batch.join(F.broadcast(_exres_keys) if small_batch else _exres_keys,
-                   "url_hash", "left_anti")
-        .join(F.broadcast(rules_df.select("rule_key", "rule_type", "is_binary")),
-              "rule_key", "left")
-        .select(*slim_cols, F.lit(True).alias("missing"))
-    )
+                   "url_hash", "left_anti"),
+        ctx, ["rule_type", "is_binary"],
+    ).select(*slim_cols, F.lit(True).alias("missing"))
     # ex reads the STAGED parquet directly (valid rows only — misses are
     # never valid, so they need not ride along); `failed` is slim-column.
     # Round 2 unioned missing_rows INTO exres with a null ex struct, and the
@@ -727,7 +802,7 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
         .withColumn("e_version",
                     F.coalesce("m_version", F.when(F.col("maybe_seen"), F.col("s_version"))))
         .drop("m_status", "m_last", "m_version", "s_status", "s_last", "s_version")
-        .join(F.broadcast(rules_df.select("rule_key", "interval_s")), "rule_key", "left")
+        .transform(lambda d: _with_rule_cols(d, ctx, ["interval_s"]))
         .withColumn("d_new", F.col("e_status").isNull())
         .withColumn(
             "d_requeue",
@@ -1093,9 +1168,14 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     # (state rows + this round's updates) and the fetch_log wave append.
     # Capped at ONE wave of cores: with concurrent_commits, 6 jobs x 2-cores
     # width queue ~12x cores tasks at once — the same driver/scheduler
-    # contention measured for concurrent commits at local[32]
+    # contention measured for concurrent commits at local[32].
+    # FLOORED at the touched-bucket count (guide §2.5 — data-derived, not
+    # core-derived): the 50k-rows/task width model undersizes the url_state
+    # merge, whose rows carry records/events arrays — measured: a 48k-row
+    # round-4 merge at width 1 ran ONE 3.75s task writing all 16 bucket
+    # dirs; width 16 puts each bucket's merge+write in its own task.
     _set_width(_state_rows + cat.stage_rows(round_no, "updates") + batch_rows,
-               cap=_dpar)
+               floor=min(_dpar, max(1, len(touched_buckets))), cap=_dpar)
     # Default width 2 (guide §2.6): enough overlap that one commit's driver-
     # side tail (footer scans, manifest writes) back-fills with the next
     # commit's compute, without re-creating the r2 regression (6-7 concurrent
