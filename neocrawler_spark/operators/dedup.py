@@ -670,7 +670,7 @@ def q_dedup_embed_cosine(spark, sf_dir):
     shape: equi self-join on cell — no all-pairs scan; at 10^10 vectors swap
     the 3-bit cell for the k-means quantizer (ivf_kmeans_cells) and keep the
     same join."""
-    from .similarity import _cosine
+    from .similarity import _cosine_pre, _norm
 
     emb = load(spark, sf_dir, "embeddings")
     cell = (
@@ -678,13 +678,19 @@ def q_dedup_embed_cosine(spark, sf_dir):
         + (F.expr("cast(element_at(embedding, 2) > 0 as int)") * 2)
         + F.expr("cast(element_at(embedding, 3) > 0 as int)")
     )
-    e = emb.withColumn("cell", cell)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ae"), "cell")
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("be"), "cell")
+    # norms per ROW before the self-join (similarity._norm docstring): the
+    # per-pair cosine previously re-evaluated both 64-dim norms for every
+    # partner in the cell — 2/3 of the quadratic join's FLOPs for values
+    # that are per-vector constants. Same expression tree → same doubles.
+    e = emb.withColumn("cell", cell).withColumn("nrm", _norm("embedding"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ae"),
+                 "cell", F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("be"),
+                 "cell", F.col("nrm").alias("nb"))
     return (
         a.join(b, "cell")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", _cosine("ae", "be"))
+        .withColumn("cos", _cosine_pre("ae", "be", "na", "nb"))
         .where(F.col("cos") >= COS_THRESH)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )

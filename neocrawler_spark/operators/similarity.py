@@ -25,18 +25,33 @@ TOP_K = 3
 N_QUERIES = 5  # vec_id < 5 are queries, the rest candidates
 
 
-def _cosine(qe: str, ce: str):
-    dot = F.expr(
-        f"aggregate(zip_with({qe}, {ce}, (x, y) -> cast(x as double) * cast(y as double)),"
+def _norm(col: str):
+    """sqrt(sum v²) — the exact per-row subexpression _cosine evaluates, so
+    precomputing it BEFORE a join yields bit-identical cosines (guide §2.3:
+    compute per-row values once, not once per joined pair — the norm of each
+    side was being re-evaluated for every partner row, 2/3 of the join's
+    FLOPs)."""
+    return F.expr(
+        f"sqrt(aggregate({col}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
         " cast(0.0 as double), (acc, v) -> acc + v)"
     )
-    nq = F.expr(
-        f"sqrt(aggregate({qe}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
-    )
-    nc = F.expr(
-        f"sqrt(aggregate({ce}, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double)))"
-    )
-    return dot / (nq * nc)
+
+
+def _cosine(qe: str, ce: str):
+    return _dot(qe, ce) / (_norm(qe) * _norm(ce))
+
+
+def _cosine_pre(qe: str, ce: str, nq: str, nc: str):
+    """Cosine with both norms already materialized as columns: same
+    divide(dot, multiply(nq, nc)) tree as _cosine, norms computed per row
+    instead of per pair."""
+    return _dot(qe, ce) / (F.col(nq) * F.col(nc))
 
 
 def q_embed_cosine_topk(spark, sf_dir, top_k: int = TOP_K):
@@ -44,11 +59,11 @@ def q_embed_cosine_topk(spark, sf_dir, top_k: int = TOP_K):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(f"vec_id < {N_QUERIES}").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    ).withColumn("nq", _norm("qe"))
     c = emb.where(f"vec_id >= {N_QUERIES}").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    )
-    scored = q.crossJoin(c).withColumn("cos", _cosine("qe", "ce"))
+    ).withColumn("nc", _norm("ce"))
+    scored = q.crossJoin(c).withColumn("cos", _cosine_pre("qe", "ce", "nq", "nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -86,11 +101,11 @@ def q_ann_ivf_bucket(spark, sf_dir):
     e = emb.withColumn("cell", cell)
     q = e.where(f"vec_id < {N_QUERIES}").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell"
-    )
+    ).withColumn("nq", _norm("qe"))
     c = e.where(f"vec_id >= {N_QUERIES}").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "cell"
-    )
-    scored = q.join(c, "cell").withColumn("cos", _cosine("qe", "ce"))
+    ).withColumn("nc", _norm("ce"))
+    scored = q.join(c, "cell").withColumn("cos", _cosine_pre("qe", "ce", "nq", "nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -197,7 +212,7 @@ def q_ann_ivf_kmeans(spark, sf_dir, k: int = K_CELLS, nprobe: int = NPROBE,
     cent, assign = ivf_kmeans_cells(spark, sf_dir, k=k, iters=iters)
     inv = cands.withColumnRenamed("vec_id", "neighbor_id").join(
         assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
-    ).withColumnRenamed("embedding", "ce2")
+    ).withColumnRenamed("embedding", "ce2").withColumn("nc", _norm("ce2"))
     q = emb.where(f"vec_id < {N_QUERIES}").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -208,8 +223,9 @@ def q_ann_ivf_kmeans(spark, sf_dir, k: int = K_CELLS, nprobe: int = NPROBE,
             Window.partitionBy("query_id").orderBy("d", "cell")))
         .where(f"crank <= {nprobe}")
         .select("query_id", "qe", "cell")
+        .withColumn("nq", _norm("qe"))
     )
-    scored = probe.join(inv, "cell").withColumn("cos", _cosine("qe", "ce2"))
+    scored = probe.join(inv, "cell").withColumn("cos", _cosine_pre("qe", "ce2", "nq", "nc"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
