@@ -114,9 +114,13 @@ def _doc_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; the min over (a*h+b) % P31 is the same bigint arithmetic as the
     old per-row aggregation, so signatures stay bit-identical."""
     d = _spread(spark, load(spark, sf_dir, "documents"))
-    d = d.select(
+    # "has >= 1 token" ⟺ lower(text) contains one [a-z0-9] char: the old
+    # size(hs) >= 1 filter re-evaluated the whole tokenize+hash chain a
+    # second time after project-collapse (plan showed regexp_extract_all
+    # twice); the rlike probe is a single cheap scan of the text.
+    d = d.where(F.expr("lower(text) rlike '[a-z0-9]'")).select(
         "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
-    ).where(F.size("hs") >= 1)
+    )
     return d.select(
         "doc_id",
         F.array(*[
@@ -544,9 +548,11 @@ def q_dedup_simhash(spark, sf_dir):
     and the final bit-or over p2 are the identical arithmetic, so
     fingerprints are bit-identical."""
     d = _spread(spark, load(spark, sf_dir, "documents"))
-    d = d.select(
+    # same no-token filter rewrite as _doc_sig_frame: one rlike probe
+    # instead of a second tokenize+hash evaluation inside the filter
+    d = d.where(F.expr("lower(text) rlike '[a-z0-9]'")).select(
         "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
-    ).where(F.size("hs") >= 1)
+    )
     bit_cols = [
         F.when(
             F.expr(
