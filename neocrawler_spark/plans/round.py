@@ -560,8 +560,15 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
         F.coalesce("max_fetches_per_round", F.lit(st["default_host_budget"])),
     )
     allowed_col = robots_allowed(F.col("url"), F.col("host"), F.col("disallow"))
-    qa = q.withColumn("allowed", allowed_col)
     _set_width(backlog + min(balance, _frontier_rows) + len(seed_rows))
+    # qa staged ONCE (guide §2.4/§1.5): the gated write's four union branches
+    # (per_host_budget's ungated/survivors/over + the robots-denied branch)
+    # each re-evaluated the queue ⋈ robots ⋈ hydrate subtree — the event log
+    # showed the robots broadcast BUILT four times per round (4 sequential
+    # sub-jobs) plus four map passes over the wave. Branches now filter a
+    # parquet scan with footer-known stats; the seeds-window exchange the
+    # planner already reused stays reused.
+    qa = cat.stage(spark, round_no, "qa", q.withColumn("allowed", allowed_col))
     surv = per_host_budget(qa.where("allowed"), ["seq"], salts=st["politeness_salts"])
     # disp partitions the stage into the three consumer row-sets; no reshuffle
     # (3-value col — clustering would collapse the wave write to 3 tasks).
