@@ -8,6 +8,7 @@ Usage:
   python bench_extra.py queries [name ...]   # noop-timed declared queries
   python bench_extra.py lsh                  # LSH phase decomposition
   python bench_extra.py explain [dir]        # dump .explain("formatted") per query
+  python bench_extra.py crawl [evlog-dir]    # headline-config crawl (+ event log)
 """
 
 from __future__ import annotations

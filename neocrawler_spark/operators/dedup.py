@@ -113,20 +113,25 @@ def _doc_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with no tokens are dropped (size < 1), exactly as explode() dropped
     them; the min over (a*h+b) % P31 is the same bigint arithmetic as the
     old per-row aggregation, so signatures stay bit-identical."""
-    d = _spread(spark, load(spark, sf_dir, "documents"))
-    # "has >= 1 token" ⟺ lower(text) contains one [a-z0-9] char: the old
-    # size(hs) >= 1 filter re-evaluated the whole tokenize+hash chain a
-    # second time after project-collapse (plan showed regexp_extract_all
-    # twice); the rlike probe is a single cheap scan of the text.
-    d = d.where(F.expr("lower(text) rlike '[a-z0-9]'")).select(
-        "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
-    )
-    return d.select(
+    return _doc_token_hashes(spark, sf_dir).select(
         "doc_id",
         F.array(*[
             F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {P31}))")
             for _i, a, b in PERMS
         ]).alias("sig"),
+    )
+
+
+def _doc_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs) — hs = the distinct-token md5 hashes as one array,
+    shared by the minhash and simhash pipelines so their dropped-doc sets
+    can never desynchronize. "Has >= 1 token" ⟺ lower(text) contains one
+    [a-z0-9] char: the old size(hs) >= 1 filter re-evaluated the whole
+    tokenize+hash chain a second time after project-collapse (plan showed
+    regexp_extract_all twice); the rlike probe is a single cheap scan."""
+    d = _spread(spark, load(spark, sf_dir, "documents"))
+    return d.where(F.expr("lower(text) rlike '[a-z0-9]'")).select(
+        "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
     )
 
 
@@ -547,12 +552,7 @@ def q_dedup_simhash(spark, sf_dir):
     the bit test in bigint (double / loses bits >2^53); the per-bit ±1 sums
     and the final bit-or over p2 are the identical arithmetic, so
     fingerprints are bit-identical."""
-    d = _spread(spark, load(spark, sf_dir, "documents"))
-    # same no-token filter rewrite as _doc_sig_frame: one rlike probe
-    # instead of a second tokenize+hash evaluation inside the filter
-    d = d.where(F.expr("lower(text) rlike '[a-z0-9]'")).select(
-        "doc_id", F.expr(f"transform({TOKENIZE}, tok -> {TOKHASH})").alias("hs")
-    )
+    d = _doc_token_hashes(spark, sf_dir)
     bit_cols = [
         F.when(
             F.expr(

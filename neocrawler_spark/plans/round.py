@@ -1188,8 +1188,8 @@ def _run_round_body(ctx: CrawlContext, state: dict | None = None) -> dict:
     # commit's compute, without re-creating the r2 regression (6-7 concurrent
     # py4j write jobs stalling each other 8-20x at local[32]).
     # concurrent_commits=True keeps the all-parallel pool for real clusters.
-    n_workers = (len(commit_plan) if st.get("concurrent_commits", False)
-                 else min(len(commit_plan), int(st.get("commit_workers", 2))))
+    n_workers = max(1, len(commit_plan) if st.get("concurrent_commits", False)
+                    else min(len(commit_plan), int(st.get("commit_workers", 2))))
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
         futures = {name: pool.submit(_timed, fn) for name, fn in commit_plan.items()}
         res = {name: fut.result() for name, fut in futures.items()}
